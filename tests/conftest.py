@@ -1,0 +1,66 @@
+"""Test fixtures: golden-oracle binaries + synthetic corpora.
+
+Multi-device sharding tests run on a virtual CPU mesh
+(``--xla_force_host_platform_device_count``) configured in
+``tests/parallel/conftest.py`` only, so TPU tests keep the real device.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+import oracle  # noqa: E402
+from nhwcodec_tpu.utils import bmp, fixtures  # noqa: E402
+
+requires_oracle = pytest.mark.skipif(
+    not oracle.available(), reason="reference sources not available"
+)
+
+
+@pytest.fixture(scope="session")
+def oracle_bins():
+    if not oracle.available():
+        pytest.skip("reference sources not available")
+    return oracle.build()
+
+
+@pytest.fixture(scope="session")
+def fixture_dir(oracle_bins) -> Path:
+    """Build (and cache) the synthetic BMP corpus under .oracle/fixtures."""
+    d = oracle.FIXTURES
+    d.mkdir(parents=True, exist_ok=True)
+    for name, gen in fixtures.GENERATORS.items():
+        p = d / f"{name}.bmp"
+        if not p.exists():
+            bmp.write_bmp512(p, gen())
+    return d
+
+
+def golden(fixture_dir: Path, name: str, q: int) -> tuple[Path, Path]:
+    """Return (nhw_path, decoded_bmp_path) for image `name` at quality q,
+    encoding/decoding with the oracle on first use (cached on disk)."""
+    src = fixture_dir / f"{name}.bmp"
+    nhw = fixture_dir / f"{name}_q{q}.nhw"
+    dec = fixture_dir / f"{name}_q{q}_dec.bmp"
+    if not nhw.exists():
+        oracle.encode(src, nhw, q)
+    if not dec.exists():
+        oracle.decode(nhw, dec)
+    return nhw, dec
+
+
+@pytest.fixture(scope="session")
+def golden_q20(fixture_dir):
+    return {name: golden(fixture_dir, name, 20) for name in fixtures.GENERATORS}
+
+
+def load_bmp_bytes(path: Path) -> np.ndarray:
+    return np.frombuffer(path.read_bytes(), dtype=np.uint8)

@@ -1,0 +1,50 @@
+"""Golden-oracle harness: builds and runs the reference C codec.
+
+The reference sources live read-only at ``/root/reference`` (or
+``$NHW_REFERENCE``).  Binaries are compiled out-of-tree into
+``.oracle/bin`` (gitignored) and used by the test-suite as the
+bit-exactness oracle.  No reference code is vendored into this repo.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+REFERENCE = Path(os.environ.get("NHW_REFERENCE", "/root/reference"))
+ORACLE_DIR = REPO / ".oracle"
+BIN = ORACLE_DIR / "bin"
+FIXTURES = ORACLE_DIR / "fixtures"
+
+
+def available() -> bool:
+    return REFERENCE.is_dir() and (REFERENCE / "encoder").is_dir()
+
+
+def build() -> tuple[Path, Path]:
+    """Compile nhw-enc / nhw-dec from the reference sources (cached)."""
+    enc, dec = BIN / "nhw-enc", BIN / "nhw-dec"
+    if enc.exists() and dec.exists():
+        return enc, dec
+    if not available():
+        raise RuntimeError(f"reference sources not found at {REFERENCE}")
+    BIN.mkdir(parents=True, exist_ok=True)
+    enc_srcs = sorted(str(p) for p in (REFERENCE / "encoder").glob("*.c"))
+    dec_srcs = sorted(str(p) for p in (REFERENCE / "decoder").glob("*.c"))
+    subprocess.run(["gcc", "-O2", "-o", str(enc), *enc_srcs, "-lm"], check=True)
+    subprocess.run(["gcc", "-O2", "-o", str(dec), *dec_srcs, "-lm"], check=True)
+    return enc, dec
+
+
+def encode(bmp: Path, nhw: Path, q: int = 20) -> None:
+    enc, _ = build()
+    subprocess.run([str(enc), f"-q{q}", "-f", str(bmp), str(nhw)],
+                   check=True, capture_output=True)
+
+
+def decode(nhw: Path, bmp: Path) -> None:
+    _, dec = build()
+    subprocess.run([str(dec), str(nhw), str(bmp)],
+                   check=True, capture_output=True)
