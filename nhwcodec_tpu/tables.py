@@ -111,3 +111,39 @@ UV_SMALL_DC_OFFSET = np.array(
     [[0, 4], [0, -4], [4, 0], [-4, 0], [4, 4], [4, -4], [-4, 4], [-4, -4]],
     dtype=np.int32,
 )
+
+
+# ---------------------------------------------------------------------------
+# Canonical Huffman code table (encoder side of the same format contract the
+# decode LUTs above invert; published reference encoder/tree.h:58-140).
+# HUFFMAN_CODES[i] = MSB-aligned-on-emit code value, HUFFMAN_LENS[i] = bits.
+
+HUFFMAN_CODES = np.array([
+    0x0000, 0x0002, 0x0004, 0x000a, 0x000b, 0x0006, 0x0007, 0x0018,
+    0x0019, 0x001a, 0x0036, 0x0037, 0x0070, 0x0071, 0x00e8, 0x00e9,
+    0x00ea, 0x00eb, 0x00ec, 0x00ed, 0x00ee, 0x00ef, 0x00f0, 0x00f1,
+    0x00f2, 0x00f3, 0x01c8, 0x01c9, 0x01ca, 0x01cb, 0x01cc, 0x01cd,
+    0x01ce, 0x01cf, 0x01e8, 0x01e9, 0x01ea, 0x01eb, 0x01ec, 0x01ed,
+    0x01ee, 0x01ef, 0x03e8, 0x03e9, 0x03ea, 0x03eb, 0x03ec, 0x03ed,
+    0x03ee, 0x03ef, 0x03e4, 0x03e5, 0x03e6, 0x03e7, 0x07c0, 0x07c1,
+    0x07e0, 0x07e1, 0x07f0, 0x07f1, 0x07f2, 0x07f3, 0x07f4, 0x07f5,
+    0x07f6, 0x07f7, 0x07f8, 0x07f9, 0x07fa, 0x07fb, 0x07fc, 0x07fd,
+    0x07fe, 0x07ff, 0x07e8, 0x07e9, 0x07ea, 0x07eb, 0x07ec, 0x07ed,
+    0x07ee, 0x07ef, 0x0f88, 0x0f89, 0x0f8a, 0x0f8b, 0x0f8c, 0x0f8d,
+    0x0f8e, 0x0f8f, 0x0fc8, 0x0fc9, 0x0fca, 0x0fcb, 0x0fcc, 0x0fcd,
+    0x0fce, 0x0fcf, 0x1f08, 0x1f09, 0x1f0a, 0x1f0b, 0x3f10, 0x3f11,
+    0x3f12, 0x3f13, 0x3f14, 0x3f15, 0x3f16, 0x3f17,
+    *[0x1f0c0 + k for k in range(64)],
+    *[0x1f8c0 + k for k in range(46)],
+    *[0x3f1dc + k for k in range(12)],
+    *[0x7e3d0 + k for k in range(38)],
+    *[0xfc7ec + k for k in range(20)],
+], dtype=np.uint32)
+assert HUFFMAN_CODES.shape == (290,)
+
+HUFFMAN_LENS = np.array(
+    [2, 3, 3, 4, 4, 4, 4, 5, 5, 5, 6, 6, 7, 7]
+    + [8] * 12 + [9] * 16 + [10] * 12 + [11] * 28 + [12] * 16
+    + [13] * 4 + [14] * 8 + [17] * 110 + [18] * 12 + [19] * 38 + [20] * 20,
+    dtype=np.int32)
+assert HUFFMAN_LENS.shape == (290,)

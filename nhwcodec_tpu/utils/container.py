@@ -269,3 +269,180 @@ def serialize_nhw(s: NHWStreams) -> bytes:
     out += s.packet1.tobytes()
     out += s.packet2.tobytes()
     return bytes(out)
+
+
+def write_nhw(quality: int, res_low: int, wavelet_type: int,
+              sec: dict) -> bytes:
+    """Serialize sections to .nhw bytes (encoder/nhw_encoder.c:3100-3218).
+
+    ``sec`` keys follow models.encoder naming; lengths are derived from the
+    arrays exactly as the reference writes them."""
+    out = bytearray()
+    out.append((res_low + wavelet_type) & 0xFF)
+    out.append(quality & 0xFF)
+
+    def u16(v):
+        out.extend(struct.pack("<H", v & 0xFFFF))
+
+    def i32(v):
+        out.extend(struct.pack("<i", v))
+
+    tree1 = sec["tree1"]
+    tree2 = sec["tree2"]
+    exw = sec["exw_Y"]
+    u16(len(tree1))
+    u16(len(tree2))
+    i32(sec["size_data1"])
+    i32(sec["size_data2"])
+    u16(sec["tree_end"])
+    u16(len(exw))
+    if quality > T.LOW8:
+        u16(len(sec["res1"]))
+    if quality >= T.LOW1:
+        u16(len(sec["res3"]))
+        u16(len(sec["res3_bit"]))
+    if quality > T.LOW3:
+        u16(len(sec["res4"]))
+    if quality > T.LOW8:
+        u16(len(sec["res1_bit"]))
+    if quality >= T.HIGH1:
+        u16(len(sec["res5"]))
+        u16(len(sec["res5_bit"]))
+    if quality > T.HIGH1:
+        out.extend(struct.pack("<I", len(sec["res6"])))
+        u16(len(sec["res6_bit"]))
+        u16(len(sec["char_res1"]))
+    if quality > T.HIGH2:
+        u16(len(sec["qsetting3"]))
+    u16(sec["nhw_select1"])
+    u16(sec["nhw_select2"])
+    if quality > T.LOW5:
+        u16(len(sec["highres_word"]))
+    u16(len(sec["ch_res"]))
+
+    out.extend(bytes(tree1))
+    out.extend(bytes(tree2))
+    out.extend(bytes(bytearray(exw)))
+    if quality > T.LOW8:
+        out.extend(bytes(sec["res1"]))
+        out.extend(bytes(sec["res1_bit"]))
+        out.extend(bytes(sec["res1_word"]))
+    if quality > T.LOW3:
+        out.extend(bytes(sec["res4"]))
+    if quality >= T.LOW1:
+        out.extend(bytes(sec["res3"]))
+        out.extend(bytes(sec["res3_bit"]))
+        out.extend(bytes(sec["res3_word"]))
+    if quality >= T.HIGH1:
+        out.extend(bytes(sec["res5"]))
+        out.extend(bytes(sec["res5_bit"]))
+        out.extend(bytes(sec["res5_word"]))
+    if quality > T.HIGH1:
+        out.extend(bytes(sec["res6"]))
+        out.extend(bytes(sec["res6_bit"]))
+        out.extend(bytes(sec["res6_word"]))
+        out.extend(np.asarray(sec["char_res1"], np.uint16).tobytes())
+    if quality > T.HIGH2:
+        out.extend(np.asarray(sec["qsetting3"], np.uint32).tobytes())
+    out.extend(bytes(sec["select_word1"]))
+    out.extend(bytes(sec["select_word2"]))
+    if quality > T.LOW5:
+        out.extend(bytes(sec["res_U_64"]))
+        out.extend(bytes(sec["res_V_64"]))
+        out.extend(bytes(sec["highres_word"]))
+    out.extend(bytes(sec["ch_res"]))
+    out.extend(np.asarray(sec["encode"], np.uint32).tobytes())
+    return bytes(out)
+
+
+def dead_tail_byte_positions(data: bytes) -> set[int]:
+    """File offsets of the word-plane / select-word tail bytes whose
+    padding bits the reference encoder fills with uninitialized heap
+    (encoder/nhw_encoder.c:1623-1629 and twins, compress_pixel.c:373-394).
+    No decoder reads those bits; byte-exactness is defined modulo them.
+    Returns the last two bytes of each *_word section and the last byte of
+    each select-word section."""
+    import struct as _s
+
+    q = data[1]
+    pos = 2
+    size_tree1, size_tree2 = _s.unpack_from("<HH", data, pos)
+    pos += 4
+    size_data1, size_data2 = _s.unpack_from("<ii", data, pos)
+    pos += 8
+    tree_end, exw_end = _s.unpack_from("<HH", data, pos)
+    pos += 4
+    res1_len = res3_len = res3_bit = res4_len = res1_bit = 0
+    res5_len = res5_bit = res6_len = res6_bit = char_res1 = qset3 = 0
+    if q > T.LOW8:
+        res1_len = _s.unpack_from("<H", data, pos)[0]
+        pos += 2
+    if q >= T.LOW1:
+        res3_len, res3_bit = _s.unpack_from("<HH", data, pos)
+        pos += 4
+    if q > T.LOW3:
+        res4_len = _s.unpack_from("<H", data, pos)[0]
+        pos += 2
+    if q > T.LOW8:
+        res1_bit = _s.unpack_from("<H", data, pos)[0]
+        pos += 2
+    if q >= T.HIGH1:
+        res5_len, res5_bit = _s.unpack_from("<HH", data, pos)
+        pos += 4
+    if q > T.HIGH1:
+        res6_len = _s.unpack_from("<I", data, pos)[0]
+        pos += 4
+        res6_bit, char_res1 = _s.unpack_from("<HH", data, pos)
+        pos += 4
+    if q > T.HIGH2:
+        qset3 = _s.unpack_from("<H", data, pos)[0]
+        pos += 2
+    sel1, sel2 = _s.unpack_from("<HH", data, pos)
+    pos += 4
+    if q > T.LOW5:
+        pos += 2  # highres_comp_len
+    pos += 2  # end_ch_res
+
+    dead: set[int] = set()
+    pos += size_tree1 + size_tree2 + exw_end
+    if q > T.LOW8:
+        pos += res1_len + res1_bit
+        word = res1_bit  # word plane length == bit length for res1
+        dead.update({pos + word - 2, pos + word - 1})
+        pos += word
+    if q > T.LOW3:
+        pos += res4_len
+    if q >= T.LOW1:
+        pos += res3_len + res3_bit
+        word = 2 * res3_bit
+        dead.update({pos + word - 2, pos + word - 1})
+        pos += word
+    if q >= T.HIGH1:
+        pos += res5_len + res5_bit
+        word = res5_bit
+        dead.update({pos + word - 2, pos + word - 1})
+        pos += word
+    if q > T.HIGH1:
+        pos += res6_len + res6_bit
+        word = res6_bit
+        dead.update({pos + word - 2, pos + word - 1})
+        pos += word
+        pos += 2 * char_res1
+    if q > T.HIGH2:
+        pos += 4 * qset3
+    dead.add(pos + sel1 - 1)
+    pos += sel1
+    dead.add(pos + sel2 - 1)
+    return dead
+
+
+def equal_modulo_dead_bits(a: bytes, b: bytes) -> bool:
+    """True when two .nhw files are byte-identical except in the
+    uninitialized padding tail bytes (see dead_tail_byte_positions)."""
+    if len(a) != len(b):
+        return False
+    if a == b:
+        return True
+    dead = dead_tail_byte_positions(a)
+    return all(x == y or i in dead
+               for i, (x, y) in enumerate(zip(a, b)))

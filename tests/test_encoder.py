@@ -1,0 +1,102 @@
+"""Encoder bit-exactness vs the stage-dump instrumented oracle.
+
+The byte-exactness contract: our .nhw equals the reference's output
+except in the dead word-plane/select padding bits the reference fills
+with uninitialized heap (utils.container.dead_tail_byte_positions).
+Functional equality is absolute: the reference decoder produces identical
+BMPs from both files.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "tools"))
+
+from conftest import requires_oracle  # noqa: E402
+
+import oracle  # noqa: E402
+import oracle_dump  # noqa: E402
+
+from nhwcodec_tpu.models import encoder  # noqa: E402
+from nhwcodec_tpu.ops import analysis, colorspace  # noqa: E402
+from nhwcodec_tpu.utils import bmp as bmp_io, container  # noqa: E402
+
+NAMES = ("gradient", "texture", "blocks", "flat")
+
+
+@pytest.fixture(scope="session")
+def dumps_q20(fixture_dir):
+    out = {}
+    for name in NAMES:
+        d = oracle.ORACLE_DIR / "dumps" / f"{name}_q20"
+        nhw = oracle_dump.run(fixture_dir / f"{name}.bmp", 20, d)
+        out[name] = (oracle_dump.load(d), nhw.read_bytes())
+    return out
+
+
+@requires_oracle
+@pytest.mark.parametrize("name", NAMES)
+def test_colorspace_bit_exact(dumps_q20, fixture_dir, name):
+    dd, _ = dumps_q20[name]
+    rgb = bmp_io.read_bmp512(fixture_dir / f"{name}.bmp")
+    y, u, v = colorspace.downsample_yuv420(rgb, 20)
+    np.testing.assert_array_equal(y, dd["d1_y"])
+    np.testing.assert_array_equal(u, dd["d1_u"])
+    np.testing.assert_array_equal(v, dd["d1_v"])
+
+
+@requires_oracle
+@pytest.mark.parametrize("name", NAMES)
+def test_analysis_bit_exact(dumps_q20, name):
+    dd, _ = dumps_q20[name]
+    jpeg = dd["d2_jpeg"].copy()
+    process = np.zeros((512, 512), np.int16)
+    analysis.wavelet_analysis(jpeg, process, 512, 0, 0)
+    np.testing.assert_array_equal(jpeg, dd["d3_jpeg"])
+    np.testing.assert_array_equal(process, dd["d3_process"])
+    analysis.wavelet_analysis(jpeg, process, 256, 1, 0)
+    np.testing.assert_array_equal(jpeg, dd["d4_jpeg"])
+    np.testing.assert_array_equal(process, dd["d4_process"])
+
+
+@requires_oracle
+@pytest.mark.parametrize("name", NAMES)
+def test_encode_byte_exact_mod_dead_bits(dumps_q20, name):
+    dd, ref = dumps_q20[name]
+    mine = encoder.encode_from_planes(dd["d2_jpeg"], dd["d1_u"], dd["d1_v"],
+                                      20)
+    assert len(mine) == len(ref)
+    assert container.equal_modulo_dead_bits(mine, ref)
+    # the dead bytes really are few
+    ndiff = sum(1 for x, y in zip(mine, ref) if x != y)
+    assert ndiff <= 12
+
+
+@requires_oracle
+def test_encode_roundtrips_through_reference_decoder(dumps_q20, tmp_path):
+    """our-encode -> reference-decode == reference roundtrip, and our own
+    decoder agrees (SURVEY.md 7.2 milestone 3)."""
+    import nhwcodec_tpu
+
+    name = "gradient"
+    dd, ref = dumps_q20[name]
+    mine = encoder.encode_from_planes(dd["d2_jpeg"], dd["d1_u"], dd["d1_v"],
+                                      20)
+    p_mine = tmp_path / "mine.nhw"
+    p_mine.write_bytes(mine)
+    p_ref = tmp_path / "ref.nhw"
+    p_ref.write_bytes(ref)
+    oracle.decode(p_mine, tmp_path / "mine.bmp")
+    oracle.decode(p_ref, tmp_path / "ref.bmp")
+    assert (tmp_path / "mine.bmp").read_bytes() \
+        == (tmp_path / "ref.bmp").read_bytes()
+    own = nhwcodec_tpu.decode(mine)
+    refpix = np.frombuffer((tmp_path / "ref.bmp").read_bytes()[54:],
+                           np.uint8).reshape(512, 512, 3)
+    np.testing.assert_array_equal(own, refpix)

@@ -48,3 +48,39 @@ def decode(nhw: Path, bmp: Path) -> None:
     _, dec = build()
     subprocess.run([str(dec), str(nhw), str(bmp)],
                    check=True, capture_output=True)
+
+
+_ZMALLOC_C = r"""
+/* zero-filling malloc for deterministic encoder output: the reference
+   packs uninitialized malloc tail bits into a few dead file bytes. */
+#define _GNU_SOURCE
+#include <stddef.h>
+#include <string.h>
+extern void *__libc_malloc(size_t);
+void *malloc(size_t n) {
+    void *p = __libc_malloc(n);
+    if (p) memset(p, 0, n);
+    return p;
+}
+"""
+
+
+def build_zmalloc() -> Path:
+    so = BIN / "zmalloc.so"
+    if so.exists():
+        return so
+    BIN.mkdir(parents=True, exist_ok=True)
+    src = BIN / "zmalloc.c"
+    src.write_text(_ZMALLOC_C)
+    subprocess.run(["gcc", "-shared", "-fPIC", "-O2", "-o", str(so),
+                    str(src)], check=True)
+    return so
+
+
+def encode_det(bmp: Path, nhw: Path, q: int = 20) -> None:
+    """Encode with zero-filled malloc: deterministic dead bits."""
+    enc, _ = build()
+    so = build_zmalloc()
+    env = dict(os.environ, LD_PRELOAD=str(so))
+    subprocess.run([str(enc), f"-q{q}", "-f", str(bmp), str(nhw)],
+                   check=True, capture_output=True, env=env)
