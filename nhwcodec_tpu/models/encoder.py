@@ -42,7 +42,8 @@ def _res_setting(q: int) -> int:
 
 def _band_snap_pass(pf: np.ndarray, rows: range, col0: int, col1: int,
                     ratio_thr: int, y_wavelet: int, y_wavelet2: int,
-                    second_rule: bool, snap_guard6: bool) -> None:
+                    second_rule: bool, snap_guard6: bool,
+                    guard_col: int | None = None) -> None:
     """Shared coefficient snap/dead-zone pass
     (encoder/nhw_encoder.c:1923-2098, three band variants)."""
     for r in rows:
@@ -88,16 +89,38 @@ def _band_snap_pass(pf: np.ndarray, rows: range, col0: int, col1: int,
                     if n1 < -14 and n1 < 10000:
                         if ((-n1) & 7) == 7:
                             pf[a + 1] = n1 + 1
-                        elif ((-n1) & 7) < 2 and j < col1 - 1 \
+                        elif ((-n1) & 7) < 2 \
+                                and j < (guard_col if guard_col is not None
+                                         else col1 - 1) \
                                 and int(pf[a + 2]) <= 0:
                             pf[a + 1] = n1 + 1
 
 
-def encode_y(yplane: np.ndarray, quality: int, ratio: int = 8):
+def _tree1_tail(yplane: np.ndarray, quality: int, offset: int):
+    """Bytes the reference reads past its tree1 allocation: the chunk is
+    carved from the freed nhw_kernel buffer, so byte k past tree1[16384]
+    aliases the kernel int16 data starting at flat index 139280 (verified
+    stable across inputs for q17..21; None disables emulation)."""
+    if not (T.LOW4 < quality < T.HIGH2):
+        return None
+    from nhwcodec_tpu.ops import prefilter
+
+    kernel = prefilter.kernel_for(yplane, quality).astype("<i2")
+    raw = kernel.tobytes()
+    start = 139280 * 2 + offset
+    return np.frombuffer(raw[start:start + 16384], np.uint8)
+
+
+def encode_y(yplane: np.ndarray, quality: int, ratio: int = 8,
+             y_original: np.ndarray | None = None):
     """Y pipeline: (512,512) int16 pre-processed luma -> quantized
     serpentine stream + all Y side sections.  Returns (im_nhw, sections).
+    ``y_original``: the un-prefiltered luma (the reference's heap-tail
+    kernel aliasing reads derive from it, see _tree1_tail).
     """
     q = quality
+    if y_original is None:
+        y_original = yplane
     sec: dict = {}
     jpeg = yplane.astype(np.int16).copy()
     process = np.zeros((N, N), np.int16)
@@ -130,7 +153,7 @@ def encode_y(yplane: np.ndarray, quality: int, ratio: int = 8):
         sec["res4"] = np.array(res4, np.uint8)
 
     hrcomp, res_low, hr_word, hr_mem = ll2.y_highres_compression(
-        tree1_y, ch_res_y, q)
+        tree1_y, ch_res_y, q, tail=_tree1_tail(y_original, q, 0))
     sec["res_low"] = res_low
     sec["highres_word"] = np.array(hr_word, np.uint8)
     sec["hrcomp_y"] = hrcomp
@@ -215,7 +238,7 @@ def encode_y(yplane: np.ndarray, quality: int, ratio: int = 8):
     else:
         yw, yw2 = 9, 9
     _band_snap_pass(pf, range(D, 511), 1, D, ratio - 2, yw, yw2,
-                    second_rule=True, snap_guard6=False)
+                    second_rule=True, snap_guard6=False, guard_col=D - 2)
 
     yw = 8 if q > T.HIGH2 else 11
     _band_snap_pass(pf, range(D, 511), D + 1, 2 * D - 1, ratio - 1, yw, yw,
@@ -239,7 +262,73 @@ def encode_y(yplane: np.ndarray, quality: int, ratio: int = 8):
 
 
 def _hq_residue(snap, wfo, band, q):
-    raise NotImplementedError  # q>=22 lands with the HQ milestone
+    """q>HIGH1 residue streams res6/char_res1/qsetting3
+    (encoder/wavelet_filterbank.c:498-707): half-synthesize the saved
+    first-order LL + dequantized band, diff vs the analysis snapshot,
+    emit positional corrections."""
+    from nhwcodec_tpu.ops.lifting import synth_unnorm
+
+    wfo2 = wfo.reshape(D, D)
+    band2 = band.reshape(D, D)
+    whs = synth_unnorm(wfo2, band2).reshape(-1).astype(np.int16)
+
+    thr = 30 if q > T.HIGH2 else 34
+    diff = snap.astype(np.int32) - whs.astype(np.int32)
+    marks = np.zeros(2 * SZ, np.int32)
+    qset3: list[int] = []
+    if q > T.HIGH2:
+        big = np.abs(diff) > 56
+        sel = (np.abs(diff) > thr) & big
+        marks[sel] = np.where(diff[sel] > 0, 32000, 32500)
+    sel2 = (np.abs(diff) > thr) & (marks == 0)
+    marks[sel2] = np.where(diff[sel2] > 0, 30000, 31000)
+
+    if q > T.HIGH2:
+        for i in np.nonzero((marks == 32000) | (marks == 32500))[0].tolist():
+            qset3.append((i << 1) + (1 if marks[i] == 32500 else 0))
+
+    positions: list[int] = []
+    words: list[int] = []
+    char_res1: list[int] = []
+    for row in range(D):
+        base = row * N
+        j = 0
+        while j < N:
+            scan = base + j
+            if j == D - 2 or j == N - 2:
+                positions.append(D - 2)
+                if j == D - 2:
+                    m = int(marks[scan])
+                    if m == 30000:
+                        char_res1.append(base >> 1)
+                    elif m == 31000:
+                        char_res1.append((base >> 1) + 1)
+                    m = int(marks[scan + 1])
+                    if m == 30000:
+                        char_res1.append((base >> 1) + 2)
+                    elif m == 31000:
+                        char_res1.append((base >> 1) + 3)
+                j += 2
+                continue
+            m = int(marks[scan])
+            if m == 30000:
+                positions.append(j & 255)
+                words.append(0)
+            elif m == 31000:
+                positions.append(j & 255)
+                words.append(1)
+            j += 1
+
+    r6, r6bit, bit_len, r6word = residue.finish_stream(positions, words, 1)
+    out = {
+        "res6": r6,
+        "res6_bit": r6bit,
+        "res6_word": r6word[: (len(words) >> 3) + 1],
+        "char_res1": np.array(char_res1, np.uint16),
+    }
+    if q > T.HIGH2:
+        out["qsetting3"] = np.array(qset3, np.uint32)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -256,11 +345,32 @@ def _very_low_q_cleanup(pf, q, ratio):
 
 
 def _mid_q_band_cleanup(pf, ratio):
-    raise NotImplementedError
+    """LOW5<q<NORM: snap small lower-half coefficients to +-7
+    (encoder/nhw_encoder.c:785-803).  Pure vector pass."""
+    lower = pf[2 * SZ:].reshape(D, 2 * D)
+    left = lower[:, :D]
+    av = np.abs(left)
+    m = (av >= ratio) & (av < 9)
+    left[m] = np.where(left[m] > 0, 7, -7)
+    right = lower[:, D:]
+    av = np.abs(right)
+    m = (av >= ratio) & (av <= 14)
+    right[m] = np.where(right[m] > 0, 7, -7)
 
 
 def _low56_band_cleanup(pf, q, ratio):
-    raise NotImplementedError
+    """q in (LOW5, LOW6): dead-zone the lower half
+    (encoder/nhw_encoder.c:804-832).  Pure vector pass."""
+    thrx2 = 19 if q == T.LOW5 else 20
+    lower = pf[2 * SZ:].reshape(D, 2 * D)
+    left = lower[:, :D]
+    av = np.abs(left)
+    left[(av >= ratio) & (av < 11)] = 0
+    right = lower[:, D:]
+    av = np.abs(right)
+    m = (av >= ratio) & (av < thrx2)
+    right[m] = np.where(right[m] >= 14, 7,
+                        np.where(right[m] <= -14, -7, 0))
 
 
 def _lowest_q_band_cleanup(pf, resIII, q, ratio):
@@ -350,7 +460,8 @@ def _pair_promotion(pf: np.ndarray, q: int) -> None:
 
 
 def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
-                       u8v: np.ndarray, quality: int) -> bytes:
+                       u8v: np.ndarray, quality: int,
+                       y_original: np.ndarray | None = None) -> bytes:
     """Full encode given the (possibly pre-processed) Y plane and the
     downsampled chroma planes — everything after colorspace/pre-filter
     (encoder/nhw_encoder.c:121-2878 + write_compressed_file)."""
@@ -359,7 +470,9 @@ def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
 
     q = quality
     ratio = 8
-    im_nhw, sec = encode_y(yplane, q, ratio)
+    if y_original is None:
+        y_original = yplane
+    im_nhw, sec = encode_y(yplane, q, ratio, y_original)
 
     proc_u, t1u, exw_u = encode_uv(u8u, q, 0, ratio)
     quantize.serpentine_uv(im_nhw, proc_u, 0)
@@ -375,7 +488,8 @@ def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
     # UV LL2 compression appended to the Y stream
     # (encoder/compress_pixel.c:878-1022); masks the UV planes to &252
     tree_uv = np.concatenate([t1u, t1v]) & 252
-    ch_res = sec.pop("hrcomp_y") + ll2.uv_highres_compression(tree_uv)
+    ch_res = sec.pop("hrcomp_y") + ll2.uv_highres_compression(
+        tree_uv, tail=_tree1_tail(yplane, q, 8192))
     sec["ch_res"] = np.array(ch_res, np.uint8)
 
     pk = entropy_enc.wavlts2packet(im_nhw, sec["nhw_select1"],
@@ -396,16 +510,13 @@ def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
 
 def encode(pixels: np.ndarray, quality: int = 20) -> bytes:
     """Encode a (512,512,3) uint8 pixel array to .nhw bytes."""
+    from nhwcodec_tpu.ops import prefilter
+
     y, u, v = colorspace.downsample_yuv420(pixels, quality)
+    y_orig = y
     if quality < T.HIGH2:
-        y = pre_process_y(y, quality)
-    return encode_from_planes(y, u, v, quality)
-
-
-def pre_process_y(yplane: np.ndarray, quality: int) -> np.ndarray:
-    """Y neatness/sharpness pre-filter (encoder/image_processing.c:558-2426).
-    Lands with the pre-processing milestone."""
-    raise NotImplementedError
+        y = prefilter.pre_process_y(y, quality)
+    return encode_from_planes(y, u, v, quality, y_original=y_orig)
 
 
 def encode_bmp(bmp_path, nhw_path, quality: int = 20) -> None:

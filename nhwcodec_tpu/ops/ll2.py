@@ -129,15 +129,22 @@ def _escape(ch_comp: list, highres: np.ndarray, ch_res: np.ndarray,
 
 
 def y_highres_compression(tree1: np.ndarray, ch_res: np.ndarray,
-                          quality: int):
+                          quality: int, tail: np.ndarray | None = None):
     """Pick the RLE mode and pack the Y LL2 byte plane
     (encoder/compress_pixel.c:471-876).
+
+    ``tail``: the bytes the reference reads past tree1[16384] — its 24577-
+    byte tree1 chunk is carved from the freed nhw_kernel buffer, so the
+    tail aliases kernel data (kernel[139280:], see models.encoder).
 
     Returns (ch_comp list[int], res_low, highres_word list[int],
     highres_mem list[int]).
     """
-    h = np.concatenate([tree1.astype(np.int32),
-                        np.zeros(8193 + 64, np.int32)])
+    pad = np.zeros(8193 + 64, np.int32)
+    if tail is not None:
+        n = min(len(tail), len(pad))
+        pad[:n] = tail[:n]
+    h = np.concatenate([tree1.astype(np.int32), pad])
 
     # mode-select run statistics (482-497)
     e = 0
@@ -372,12 +379,17 @@ def y_highres_compression(tree1: np.ndarray, ch_res: np.ndarray,
     return out, res_low, hr_word, hr_mem
 
 
-def uv_highres_compression(tree1_uv: np.ndarray):
+def uv_highres_compression(tree1_uv: np.ndarray,
+                           tail: np.ndarray | None = None):
     """U/V 64x64 LL2 plane compression appended after the Y section
     (encoder/compress_pixel.c:878-1014).  ``tree1_uv``: the 8192 bytes at
     tree1[16384:24576], already &252-masked by the caller.
     Returns the appended byte list."""
-    h = np.concatenate([tree1_uv.astype(np.int32), np.zeros(80, np.int32)])
+    pad = np.zeros(80, np.int32)
+    if tail is not None:
+        n = min(len(tail), 80)
+        pad[:n] = tail[:n]
+    h = np.concatenate([tree1_uv.astype(np.int32), pad])
     n = 8192
     ch: list[int] = [int(h[0])]
     i = 1

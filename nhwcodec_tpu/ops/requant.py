@@ -539,3 +539,62 @@ def offset_uv_recons256(jpeg: np.ndarray, process: np.ndarray, quality: int,
 
     band(range(64), (64, 128))
     band(range(64, 128), (0, 128))
+
+
+# ---------------------------------------------------------------------------
+# im_recons_wavelet_band (encoder/image_processing.c:523-556)
+
+_EXTRA_TABLE = np.array([
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 2, 0, 3, 0, 0, 0, 4, 0, 5, 0, 6, 0,
+    0, 0, 7, 0, 8, 0, 9, 0, 0, 0, 10, 0,
+    11, 0, 12, 0, 0, 0, 13, 0, 14, 0, 15, 0, 0, 0, 16, 0, 17, 0, 18, 0,
+    0, 0, 19, 0,
+    -1, 0, -2, 0, 0, 0, -3, 0, -4, 0, -5, 0, 0, 0, -6, 0, -7, 0, -8, 0,
+    0, 0, -9, 0, -10, 0,
+    -11, 0, 0, 0, -12, 0, -13, 0, -14, 0, 0, 0, -15, 0, -16, 0, -17, 0,
+    0, 0, -18, 0, -19,
+], dtype=np.int32)
+
+
+def im_recons_wavelet_band(process: np.ndarray) -> np.ndarray:
+    """Dequantize the post-offsetY HL band codes back to coefficients
+    (encoder/image_processing.c:523-556).  Returns flat (IM_SIZE,) int16."""
+    pf = process.reshape(-1)
+    band = np.zeros(SZ, np.int16)
+    r = 0
+    for row in range(D):
+        j = 0
+        while j < D:
+            scan = row * N + D + j
+            a = int(pf[scan]) & 0xFFFF  # codes are byte-valued here
+            if a == 128:
+                r += 1
+                j += 1
+                continue
+            if a == 127:
+                band[r - 1] = 5
+                band[r] = 6
+                band[r + 1] = 5
+                r += 2
+                j += 2
+                continue
+            if a == 129:
+                band[r - 1] = -5
+                band[r] = -7
+                band[r + 1] = -5
+                r += 2
+                j += 2
+                continue
+            if (a & 7) != 0:
+                ex = int(_EXTRA_TABLE[a]) if a < 109 else 0
+                if ex > 0:
+                    band[r] = T.WVLT_ENERGY_NHW + (ex << 3)
+                else:
+                    band[r] = (ex << 3) - T.WVLT_ENERGY_NHW
+                r += 1
+                j += 1
+                continue
+            band[r] = a - 125 if a > 0x80 else a - 131
+            r += 1
+            j += 1
+    return band

@@ -100,3 +100,18 @@ def test_encode_roundtrips_through_reference_decoder(dumps_q20, tmp_path):
     refpix = np.frombuffer((tmp_path / "ref.bmp").read_bytes()[54:],
                            np.uint8).reshape(512, 512, 3)
     np.testing.assert_array_equal(own, refpix)
+
+
+@requires_oracle
+@pytest.mark.parametrize("q", [17, 18, 19, 20, 21, 22, 23])
+def test_encode_quality_sweep(fixture_dir, q):
+    """Full pixels->.nhw encode is byte-exact (mod dead bits) vs the
+    reference across the simple-prefilter qualities."""
+    import nhwcodec_tpu
+    from conftest import golden
+
+    for name in ("gradient", "blocks"):
+        nhw, _ = golden(fixture_dir, name, q)
+        rgb = bmp_io.read_bmp512(fixture_dir / f"{name}.bmp")
+        mine = nhwcodec_tpu.encode(rgb, q)
+        assert container.equal_modulo_dead_bits(mine, nhw.read_bytes())

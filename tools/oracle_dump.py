@@ -71,7 +71,7 @@ _HOOKS = [
      'nhw_dump("d17_process", im->im_process, 4*IM_SIZE*2);\n\t'),
     # after LL2 byte-coding + exw escapes
     ("nhw_encoder.c", 0, "Y_highres_compression(im,enc);", "before",
-     'nhw_dump("d7_tree1", enc->tree1, 16384);'
+     'nhw_dump("d7_tree1", enc->tree1, 16384);nhw_dump("d7_tree1oob", enc->tree1+16384, 64);'
      'nhw_dump("d7_exw", enc->exw_Y, enc->exw_Y_end);'
      'nhw_dump("d7_res4", enc->nhw_res4, im->setup->quality_setting>LOW3 ? enc->nhw_res4_len : 0);'
      'nhw_dump("d7_chres", enc->ch_res, 16384);'
@@ -158,7 +158,8 @@ _DTYPES = {
     "d5_jpeg": ("<i2", (512, 512)), "d5_process": ("<i2", (512, 512)),
     "d5_res256": ("<i2", (256, 256)),
     "d6_process": ("<i2", (512, 512)),
-    "d7_tree1": ("u1", (128, 128)), "d7_exw": ("u1", None),
+    "d7_tree1": ("u1", (128, 128)), "d7_tree1oob": ("u1", None),
+    "d7_exw": ("u1", None),
     "d7_res4": ("u1", None), "d7_chres": ("u1", (128, 128)),
     "d7_process": ("<i2", (512, 512)),
     "d8_hrcomp": ("u1", None), "d8_hrmem": ("<u2", None),
