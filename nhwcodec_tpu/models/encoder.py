@@ -177,7 +177,7 @@ def encode_y(yplane: np.ndarray, quality: int, ratio: int = 8,
     elif T.LOW6 <= q <= T.LOW5:
         _low56_band_cleanup(pf, q, ratio)
     elif q < T.LOW6:
-        _lowest_q_band_cleanup(pf, resIII, q, ratio)
+        _lowest_q_band_cleanup(pf, resIII, q, ratio, tree1_y)
 
     if q > T.LOW4:
         _pair_promotion(pf, q)
@@ -337,11 +337,183 @@ def _hq_residue(snap, wfo, band, q):
 
 
 def _low_q_ll1_cleanup(pf, q, ratio):
-    raise NotImplementedError
+    """q<=LOW9 isolated-coefficient zeroing in the lower LL1 half
+    (encoder/nhw_encoder.c:285-309)."""
+    x1 = 10 if q > T.LOW14 else 11
+    for r in range(128, 256):
+        base = r * N
+        for j in range(D):
+            scan = base + j
+            v = abs(int(pf[scan]))
+            if ratio <= v < x1:
+                if abs(int(pf[scan - 1])) < ratio \
+                        and abs(int(pf[scan + 1])) < ratio:
+                    pf[scan] = 0
+                elif v == ratio:
+                    if abs(int(pf[scan - 1])) < ratio \
+                            or abs(int(pf[scan + 1])) < ratio:
+                        pf[scan] = 0
+
+
+def _VLQ_THRX(q, pf):
+    if q == T.LOW8:
+        return (8, 13, 6, 11, 34, 14, 15)
+    if T.LOW12 <= q <= T.LOW9:
+        return (8, 13, 6, 11, 34, 15, 15)
+    if q == T.LOW13:
+        return (10, 15, 9, 14, 36, 17, 17)
+    if T.LOW16 <= q <= T.LOW14:
+        return (11, 15, 10, 15, 36, 17, 17)
+    if q == T.LOW17:
+        return (11, 15, 10, 15, 36, 18, 18)
+    if q == T.LOW18:
+        return (11, 15, 10, 15, 36, 19, 20)
+    return (11, 15, 10, 15, 36, 20, 21)  # LOW19
+
+
+def _vlq_zero_bands(pf, count_pos, x5, x6, q, e34=False):
+    """Zero small coefficients at the transposed band positions of one LL2
+    column (encoder/nhw_encoder.c:417-431 shape)."""
+    c2 = count_pos << 1
+    for off in (D, D + 1, 3 * D, 3 * D + 1):
+        if abs(int(pf[c2 + off])) < x6:
+            pf[c2 + off] = 0
+    for off in (2 * SZ, 2 * SZ + 1, 2 * SZ + N, 2 * SZ + N + 1):
+        if abs(int(pf[c2 + off])) < x6 + 6:
+            pf[c2 + off] = 0
+    e = 2 * SZ + D
+    thr = 34 if e34 else x5
+    for off in (e, e + 1, e + N, e + N + 1):
+        if abs(int(pf[c2 + off])) < thr:
+            pf[c2 + off] = 0
+
+
+def _vlq_zero_l2(pf, count_pos):
+    """q<=LOW9 level-2 band zeroing (encoder/nhw_encoder.c:436-441)."""
+    if abs(int(pf[count_pos + 128])) < 11:
+        pf[count_pos + 128] = 0
+    if abs(int(pf[count_pos + SZ])) < 12:
+        pf[count_pos + SZ] = 0
+    if abs(int(pf[count_pos + SZ + 128])) < 13:
+        pf[count_pos + SZ + 128] = 0
 
 
 def _very_low_q_cleanup(pf, q, ratio):
-    raise NotImplementedError
+    """q<LOW7 LL2 window smoothing + band zeroing ladders
+    (encoder/nhw_encoder.c:311-621)."""
+    x1, x2, x3, x4, x5, x6, x7 = _VLQ_THRX(q, pf)
+
+    # C shares one `count` local across passes 1-3; pass 3's q<=LOW9
+    # block can consume a stale value (nhw_encoder.c:571-579)
+    carry = 0
+
+    # pass 1: 4-px horizontal windows in LL2 rows (383-486)
+    for r in range(128):
+        base = r * N
+        for j in range(124):
+            scan = base + j
+            p0 = int(pf[scan])
+            p1 = int(pf[scan + 1])
+            p2 = int(pf[scan + 2])
+            p3 = int(pf[scan + 3])
+            p4 = int(pf[scan + 4])
+            if abs(p4 - p0) < x1 and abs(p4 - p3) < x1 \
+                    and abs(p1 - p0) < x1 and abs(p3 - p1) < x1 \
+                    and abs(p3 - p2) < x2 - 2:
+                if p3 - p1 > 5 and p2 - p3 >= 0:
+                    pf[scan + 2] = p3
+                elif p1 - p3 > 5 and p2 - p3 <= 0:
+                    pf[scan + 2] = p3
+                elif p1 - p3 > 5 and p2 - p1 >= 0:
+                    pf[scan + 2] = p1
+                elif p3 - p1 > 5 and p2 - p1 <= 0:
+                    pf[scan + 2] = p1
+                elif p3 - p2 > 0 and p2 - p1 > 0:
+                    pass
+                elif p1 - p2 > 0 and p2 - p3 > 0:
+                    pass
+                else:
+                    pf[scan + 2] = (p3 + p1) >> 1
+                for cnt in range(1, 4):
+                    _vlq_zero_bands(pf, scan + cnt, x5, x6, q)
+                carry = 4
+                if q <= T.LOW9:
+                    for cnt in range(1, 4):
+                        _vlq_zero_l2(pf, scan + cnt)
+            elif abs(p4 - p0) < x2 + 1 and abs(p4 - p3) < x2 + 1 \
+                    and abs(p1 - p0) < x2 + 1:
+                if abs(p3 - p1) < x2 + 6 and abs(p3 - p2) < x2 + 6:
+                    if (p3 - p2 >= 0 and p2 - p1 >= 0) \
+                            or (p3 - p2 <= 0 and p2 - p1 <= 0):
+                        for cnt in range(1, 4):
+                            _vlq_zero_bands(pf, scan + cnt, x5, x6, q)
+                        carry = 4
+                        if q <= T.LOW9:
+                            for cnt in range(1, 4):
+                                _vlq_zero_l2(pf, scan + cnt)
+
+    # pass 2: vertical cross windows (488-533)
+    for r in range(126):
+        base = r * N
+        for j in range(126):
+            scan = base + j
+            if abs(int(pf[scan + 1]) - int(pf[scan + 4 * D + 1])) < x3 \
+                    and abs(int(pf[scan + 2 * D])
+                            - int(pf[scan + 2 * D + 2])) < x3:
+                if abs(int(pf[scan + 2 * D + 1])
+                       - int(pf[scan + 2 * D])) < x4 - 1 \
+                        and abs(int(pf[scan + 1])
+                                - int(pf[scan + 2 * D + 1])) < x4:
+                    e = (int(pf[scan + 1]) + int(pf[scan + 4 * D + 1])
+                         + int(pf[scan + 2 * D])
+                         + int(pf[scan + 2 * D + 2]) + 2) >> 2
+                    if abs(e - int(pf[scan + 2 * D])) < 5 \
+                            or abs(e - int(pf[scan + 2 * D + 2])) < 5:
+                        pf[scan + 2 * D + 1] = e
+                    carry = scan + 2 * D + 1
+                    _vlq_zero_bands(pf, carry, 32, x6, q, e34=False)
+                    if q <= T.LOW9:
+                        for e2 in range(3):
+                            _vlq_zero_l2(pf, carry + e2 - 1)
+
+    # pass 3: second cross variant (535-583)
+    for r in range(126):
+        base = r * N
+        for j in range(126):
+            scan = base + j
+            if abs(int(pf[scan + 2]) - int(pf[scan + 1])) < x3 \
+                    and abs(int(pf[scan + 1]) - int(pf[scan])) < x3:
+                if abs(int(pf[scan]) - int(pf[scan + 2 * D])) < x3 \
+                        and abs(int(pf[scan + 2])
+                                - int(pf[scan + 2 * D + 2])) < x3:
+                    if abs(int(pf[scan + 4 * D + 1])
+                           - int(pf[scan + 2 * D])) < x3 \
+                            and abs(int(pf[scan + 2 * D])
+                                    - int(pf[scan + 2 * D + 1])) < x4:
+                        e = (int(pf[scan + 1]) + int(pf[scan + 4 * D + 1])
+                             + int(pf[scan + 2 * D])
+                             + int(pf[scan + 2 * D + 2]) + 1) >> 2
+                        if abs(e - int(pf[scan + 2 * D])) < 5 \
+                                or abs(e - int(pf[scan + 2 * D + 2])) < 5:
+                            pf[scan + 2 * D + 1] = e
+                        carry = scan + 2 * D + 1
+                        _vlq_zero_bands(pf, carry, 32, x6, q, e34=False)
+                    if q <= T.LOW9:
+                        for e2 in range(3):
+                            _vlq_zero_l2(pf, carry + e2 - 1)
+
+    # pass 4: q<=LOW9 3-px flats (585-620)
+    if q <= T.LOW9:
+        for r in range(128):
+            base = r * N
+            for j in range(126):
+                scan = base + j
+                if abs(int(pf[scan + 2]) - int(pf[scan + 1])) < x7 \
+                        and abs(int(pf[scan + 2]) - int(pf[scan])) < x7 \
+                        and abs(int(pf[scan + 1]) - int(pf[scan])) < x7:
+                    cnt = scan + 1
+                    _vlq_zero_bands(pf, cnt, 34, x6, q, e34=True)
+                    _vlq_zero_l2(pf, cnt)
 
 
 def _mid_q_band_cleanup(pf, ratio):
@@ -373,8 +545,131 @@ def _low56_band_cleanup(pf, q, ratio):
                         np.where(right[m] <= -14, -7, 0))
 
 
-def _lowest_q_band_cleanup(pf, resIII, q, ratio):
-    raise NotImplementedError
+def _lowest_q_band_cleanup(pf, resIII, q, ratio, tree1_y=None):
+    """q<LOW6 band dead-zoning with count-adaptive thresholds
+    (encoder/nhw_encoder.c:833-968).  resIII: flat level-2 snapshot.
+
+    The last plane row reads resIII past its allocation; that address
+    aliases the live tree1 chunk (4 slack shorts + the chunk size field
+    24593 + tree1's LL2 code bytes as int16 pairs), reproduced here."""
+    if q == T.LOW7:
+        x1, x2, x3, x4, x5 = 15, 27, 10, 6, 3
+    else:
+        x1, x2, x3, x4, x5 = 16, 28, 11, 8, 5
+        count = int(np.count_nonzero(
+            np.abs(pf[2 * SZ: 4 * SZ]) >= 12))
+        if count > 12500:
+            x1, x2, x3, x4, x5 = 19, 31, 13, 9, 6
+        elif count > 10000:
+            x1, x2, x3, x4, x5 = 18, 30, 12, 8, 6
+        elif count >= 7000:
+            x1, x2, x3, x4, x5 = 17, 29, 11, 8, 5
+        if q == T.LOW9:
+            if count > 12500:
+                x1 += 1
+                x2 += 1
+                x3 += 1
+                x4 += 1
+                x5 += 1
+            else:
+                x1 += 1
+        elif q <= T.LOW10:
+            if count > 12500:
+                x1 += 3
+                x2 += 3
+                x3 += 2
+                x4 += 3
+                x5 += 3
+            else:
+                x1 += 3
+                x2 += 2
+                x3 += 2
+                x4 += 2
+                x5 += 2
+    oob = np.zeros(256, np.int16)
+    oob[4] = 24593  # the tree1 chunk's size field
+    if tree1_y is not None:
+        t = tree1_y[:496].astype(np.uint16)
+        oob[8:8 + 248] = (t[0::2] | (t[1::2] << 8)
+                          ).astype(np.uint16).view(np.int16)
+    r3 = np.concatenate([resIII.reshape(-1), oob])
+
+    for r in range(D):
+        base = r * N
+        i = base
+        for j in range(D, 2 * D):
+            scan = base + j
+            v = int(pf[scan])
+            if ratio <= abs(v) < x3 + 2:
+                if abs(int(r3[(((i >> 1) + (j - D)) >> 1) + 128])) < x4:
+                    pf[scan] = 0
+                elif abs(v + int(pf[scan - 1])) < x5                         and abs(int(pf[scan + 1])) < x5:
+                    pf[scan] = 0
+                    pf[scan - 1] = 0
+                elif abs(v + int(pf[scan + 1])) < x5                         and abs(int(pf[scan - 1])) < x5:
+                    pf[scan] = 0
+                    pf[scan + 1] = 0
+            v = int(pf[scan])
+            if ratio <= abs(v) < x3:
+                if abs(int(pf[scan - 1])) < ratio                         and abs(int(pf[scan + 1])) < ratio:
+                    pf[scan] = 0
+
+    for r in range(D, 2 * D):
+        base = r * N
+        i = base - 2 * SZ  # C: i - 2*IM_SIZE
+        for j in range(D):
+            scan = base + j
+            v = int(pf[scan])
+            if ratio <= abs(v) < x1 + 2:
+                if abs(int(r3[(((i >> 1) + j) >> 1) + (SZ >> 1)])) < x4:
+                    pf[scan] = 0
+                elif abs(v + int(pf[scan - 1])) < x5                         and abs(int(pf[scan + 1])) < x5:
+                    pf[scan] = 0
+                    pf[scan - 1] = 0
+                elif abs(v + int(pf[scan + 1])) < x5                         and abs(int(pf[scan - 1])) < x5:
+                    pf[scan] = 0
+                    pf[scan + 1] = 0
+            v = int(pf[scan])
+            if ratio <= abs(v) < x1:
+                if abs(int(pf[scan - 1])) < ratio                         and abs(int(pf[scan + 1])) < ratio:
+                    pf[scan] = 0
+                elif abs(v) < x1 - 4:
+                    pf[scan] = 0
+        for j in range(D, 2 * D - 1):
+            scan = base + j
+            v = int(pf[scan])
+            if ratio <= abs(v) < x2 + 1:
+                if abs(int(r3[(((i >> 1) + (j - D)) >> 1)
+                              + (SZ >> 1) + 128])) < x4 + 1:
+                    pf[scan] = 0
+                elif abs(v + int(pf[scan - 1])) < x5                         and abs(int(pf[scan + 1])) < x5:
+                    pf[scan] = 0
+                    pf[scan - 1] = 0
+                elif abs(v + int(pf[scan + 1])) < x5                         and abs(int(pf[scan - 1])) < x5:
+                    pf[scan] = 0
+                    pf[scan + 1] = 0
+            v = int(pf[scan])
+            if ratio <= abs(v) < x2:
+                if abs(int(pf[scan - 1])) < ratio                         and abs(int(pf[scan + 1])) < ratio:
+                    if q > T.LOW10:
+                        if v >= 16:
+                            pf[scan] = 7
+                        elif v <= -16:
+                            pf[scan] = -7
+                        else:
+                            pf[scan] = 0
+                    else:
+                        pf[scan] = 0
+                elif abs(v) < x2 - 5:
+                    if q > T.LOW10:
+                        if v >= 16:
+                            pf[scan] = 7
+                        elif v <= -16:
+                            pf[scan] = -7
+                        else:
+                            pf[scan] = 0
+                    else:
+                        pf[scan] = 0
 
 
 def _pair_promotion(pf: np.ndarray, q: int) -> None:

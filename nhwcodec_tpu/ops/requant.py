@@ -125,7 +125,10 @@ def requant_scan_ladder(jpeg: np.ndarray, process: np.ndarray,
                     a += -7 if a > 11 else -4 if a > 7 else -2 if a > 5 else -1
                 else:
                     a += 7 if a < -11 else 4 if a < -7 else 2 if a < -5 else 1
-            left = int(pf[e - 1]) - (int(r256[cnt - 1]) if cnt > 0 else 0)
+            if cnt > 0:
+                left = int(pf[e - 1]) - int(r256[cnt - 1])
+            else:
+                left = 0  # C reads the zero shorts just before both arrays
             a += left
             if scan >= 4 and a >= 1:
                 m = -1

@@ -103,7 +103,7 @@ def test_encode_roundtrips_through_reference_decoder(dumps_q20, tmp_path):
 
 
 @requires_oracle
-@pytest.mark.parametrize("q", [17, 18, 19, 20, 21, 22, 23])
+@pytest.mark.parametrize("q", [1, 3, 5, 8, 11, 13, 16, 18, 20, 22, 23])
 def test_encode_quality_sweep(fixture_dir, q):
     """Full pixels->.nhw encode is byte-exact (mod dead bits) vs the
     reference across the simple-prefilter qualities."""

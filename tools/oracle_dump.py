@@ -33,10 +33,32 @@ static void nhw_dump(const char*name, const void*p, long bytes){
   char path[1024]; snprintf(path,sizeof path,"%s/%s.bin",d,name);
   FILE*f=fopen(path,"wb"); if(!f) return; fwrite(p,1,bytes,f); fclose(f);
 }
+static void nhw_trace(const int*v, int n){
+  static FILE*tf; const char*d=getenv("NHW_DUMP_DIR"); if(!d) return;
+  if(!tf){char p[1024];snprintf(p,sizeof p,"%s/trace.bin",d);tf=fopen(p,"wb");}
+  fwrite(v,4,n,tf); fflush(tf);
+}
 """
 
 # (filename, occurrence, anchor, where, code) — where: "after" | "before"
 _HOOKS = [
+    ("image_processing.c", 0,
+     "if (lower_quality_setting_on)\n\t\t\t{\n\t\t\t\tif (abs(res)>4 && abs(res)<n1)",
+     "before",
+     '{int _tv[12]={t1,t4,t6,t44,t8,w8,t17,t7,t19,t20,t21,t23};nhw_trace(_tv,12);}\n\t\t\t'),
+    ("image_processing.c", 0,
+     "if (im->setup->quality_setting<=LOW4) nhw_sharp_on", "before",
+     'nhw_dump("dpre0_kernel", nhw_kernel, 4*IM_SIZE*2);\n\t'),
+    ("image_processing.c", 0,
+     "for (i=(2*IM_DIM),t1=0,t2=0,t3=0,t4=0,t5=0,t6=0;", "before",
+     'nhw_dump("dpre1_jpeg", im->im_jpeg, 4*IM_SIZE*2);'
+     'nhw_dump("dpre1_kernel", nhw_kernel, 4*IM_SIZE*2);\n\t\t'),
+    ("image_processing.c", 0,
+     "\t\tfor (i=(2*IM_DIM);i<((4*IM_SIZE)-(2*IM_DIM));i+=(2*IM_DIM))",
+     "before",
+     '\tnhw_dump("dpre2_jpeg", im->im_jpeg, 4*IM_SIZE*2);'
+     'nhw_dump("dpre2_kernel", nhw_kernel, 4*IM_SIZE*2);'
+     'nhw_dump("dpre2_sharp", nhw_sharp_on, 4*IM_SIZE);\n\t'),
     ("colorspace.c", 0, "free(im->im_buffer4);", "before",
      'nhw_dump("d1_y", im->im_jpeg, 4*IM_SIZE*2);'
      'nhw_dump("d1_u", im->im_bufferU, IM_SIZE);'
@@ -51,6 +73,20 @@ _HOOKS = [
      "wavelet_analysis(im,(2*IM_DIM)>>1,end_transform,1);", "after",
      '\n\tnhw_dump("d4_jpeg", im->im_jpeg, 4*IM_SIZE*2);'
      'nhw_dump("d4_process", im->im_process, 4*IM_SIZE*2);'),
+    ("nhw_encoder.c", 0, "offsetY_recons256(im,enc,ratio,1);", "after",
+     '\n\tnhw_dump("dq1_jpeg", im->im_jpeg, 4*IM_SIZE*2);'
+     'nhw_dump("dq1_process", im->im_process, 4*IM_SIZE*2);'),
+    ("nhw_encoder.c", 0,
+     "wavelet_synthesis(im,(2*IM_DIM)>>1,end_transform-1,1);", "after",
+     '\n\tnhw_dump("dq2_jpeg", im->im_jpeg, 4*IM_SIZE*2);'
+     'nhw_dump("dq2_process", im->im_process, 4*IM_SIZE*2);'),
+    ("nhw_encoder.c", 1,
+     "wavelet_analysis(im,(2*IM_DIM)>>1,end_transform,1);", "before",
+     'nhw_dump("dqneg_res256", res256-8, 16);'
+     'nhw_dump("dqneg_process", ((short*)im->im_process)-8, 16);'
+     'nhw_dump("dq3_jpeg", im->im_jpeg, 4*IM_SIZE*2);'
+     'nhw_dump("dq3_process", im->im_process, 4*IM_SIZE*2);'
+     'nhw_dump("dq3_res256", res256, IM_SIZE*2);\n\t'),
     # end of the requant feedback block (second analysis at its tail)
     ("nhw_encoder.c", 1,
      "wavelet_analysis(im,(2*IM_DIM)>>1,end_transform,1);", "after",
@@ -84,7 +120,8 @@ _HOOKS = [
      '{int v=enc->Y_res_comp;nhw_dump("d8_yrescomp", &v, 4);}'),
     # after requant part=0 + synthesis (im_jpeg holds the synthesized plane)
     ("nhw_encoder.c", 0, "free(im->im_jpeg);", "before",
-     'nhw_dump("d9_jpeg", im->im_jpeg, 4*IM_SIZE*2);\n\t'),
+     'nhw_dump("d9_jpeg", im->im_jpeg, 4*IM_SIZE*2);'
+     'nhw_dump("d9_resIIIoob", resIII+IM_SIZE, 512);\n\t'),
     # after all Y band cleanup, before quantization
     ("nhw_encoder.c", 0, "offsetY(im,ratio);", "before",
      'nhw_dump("d10_process", im->im_process, 4*IM_SIZE*2);\n\t'),
@@ -150,11 +187,20 @@ def run(bmp: Path, q: int, dump_dir: Path) -> Path:
 
 
 _DTYPES = {
+    "dpre0_kernel": ("<i2", (512, 512)),
+    "dpre1_jpeg": ("<i2", (512, 512)), "dpre1_kernel": ("<i2", (512, 512)),
+    "dpre2_jpeg": ("<i2", (512, 512)), "dpre2_kernel": ("<i2", (512, 512)),
+    "dpre2_sharp": ("u1", None),
     "d1_y": ("<i2", (512, 512)), "d1_u": ("u1", (256, 256)),
     "d1_v": ("u1", (256, 256)),
     "d2_jpeg": ("<i2", (512, 512)),
     "d3_jpeg": ("<i2", (512, 512)), "d3_process": ("<i2", (512, 512)),
     "d4_jpeg": ("<i2", (512, 512)), "d4_process": ("<i2", (512, 512)),
+    "dq1_jpeg": ("<i2", (512, 512)), "dq1_process": ("<i2", (512, 512)),
+    "dq2_jpeg": ("<i2", (512, 512)), "dq2_process": ("<i2", (512, 512)),
+    "dq3_jpeg": ("<i2", (512, 512)), "dq3_process": ("<i2", (512, 512)),
+    "dq3_res256": ("<i2", (256, 256)),
+    "dqneg_res256": ("<i2", None), "dqneg_process": ("<i2", None),
     "d5_jpeg": ("<i2", (512, 512)), "d5_process": ("<i2", (512, 512)),
     "d5_res256": ("<i2", (256, 256)),
     "d6_process": ("<i2", (512, 512)),
@@ -165,7 +211,7 @@ _DTYPES = {
     "d8_hrcomp": ("u1", None), "d8_hrmem": ("<u2", None),
     "d8_hrword": ("u1", None), "d8_reslow": ("<i4", None),
     "d8_yrescomp": ("<i4", None),
-    "d9_jpeg": ("<i2", (512, 512)),
+    "d9_jpeg": ("<i2", (512, 512)), "d9_resIIIoob": ("<i2", None),
     "d10_process": ("<i2", (512, 512)),
     "d11_process": ("<i2", (512, 512)),
     "d12_imnhw": ("u1", None), "d12_sel1": ("<i4", None),
