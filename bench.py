@@ -1,13 +1,15 @@
-"""Benchmark: batched NHW decode transform throughput on device.
+"""Benchmark: batched NHW codec transform throughput on device.
 
-Measures the device compute core of decode (two-level integer lifting
-synthesis + chroma upsample + YUV->RGB) over batches of images and prints
-one JSON line.  Baseline: the reference single-core C decoder measured at
-13.0 MP/s end-to-end (BASELINE.md).
+Measures the device compute core (encode: RGB->YUV420 + 2-level integer
+lifting analysis; decode: 2-level synthesis + upsample + YUV->RGB) over
+batches of images and prints ONE JSON line with the encode-transform
+throughput (the headline metric; decode is reported inside "extra").
+
+Baseline: the reference single-core C encoder measured at 9.1 MP/s
+end-to-end at q20 (BASELINE.md).
 
 Every call gets a distinct device-resident input batch: the remote
-execution path deduplicates repeated launches with identical buffers, so
-cycling one input undercounts real work.
+execution path deduplicates repeated launches with identical buffers.
 """
 
 from __future__ import annotations
@@ -18,40 +20,56 @@ import time
 import numpy as np
 
 
+def _time_calls(fn, inputs):
+    # warm-up / compile on a throwaway batch
+    out = fn(inputs[0])
+    _block(out)
+    t0 = time.perf_counter()
+    outs = [fn(x) for x in inputs[1:]]
+    for o in outs:
+        _block(o)
+    return time.perf_counter() - t0, len(inputs) - 1
+
+
+def _block(out):
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(out):
+        leaf.block_until_ready()
+
+
 def main() -> None:
     import jax
 
-    from nhwcodec_tpu.models.transform import decode_transform_jit
+    from nhwcodec_tpu.models.transform import (decode_transform_jit,
+                                               encode_transform_jit)
 
     rng = np.random.default_rng(0)
-    b, iters = 128, 8
+    b, iters = 64, 9
 
-    def batch():
-        return tuple(
-            jax.device_put(rng.integers(-64, 64, size=s, dtype=np.int16))
-            for s in ((b, 512, 512), (b, 256, 256), (b, 256, 256))
-        )
+    enc_in = [jax.device_put(rng.integers(0, 256, size=(b, 512, 512, 3),
+                                          dtype=np.uint8))
+              for _ in range(iters)]
+    dt_enc, n_enc = _time_calls(encode_transform_jit, enc_in)
+    del enc_in
 
-    ins = [batch() for _ in range(iters)]
-    # compile + warm with a throwaway batch, then sync all transfers
-    decode_transform_jit(*batch()).block_until_ready()
-    for x in ins:
-        for a in x:
-            a.block_until_ready()
+    dec_in = [tuple(jax.device_put(
+        rng.integers(-64, 64, size=s, dtype=np.int16))
+        for s in ((b, 512, 512), (b, 256, 256), (b, 256, 256)))
+        for _ in range(iters)]
+    dt_dec, n_dec = _time_calls(lambda x: decode_transform_jit(*x), dec_in)
 
-    t0 = time.perf_counter()
-    outs = [decode_transform_jit(*x) for x in ins]
-    for o in outs:
-        o.block_until_ready()
-    dt = time.perf_counter() - t0
-
-    mps = b * 512 * 512 / 1e6 * iters / dt
-    baseline = 13.0  # reference C decode MP/s (BASELINE.md)
+    mp = b * 512 * 512 / 1e6
+    enc_mps = mp * n_enc / dt_enc
+    dec_mps = mp * n_dec / dt_dec
+    baseline = 9.1  # reference C encode MP/s at q20 (BASELINE.md)
     print(json.dumps({
-        "metric": "decode_transform_mp_s",
-        "value": round(mps, 2),
+        "metric": "encode_transform_mp_s",
+        "value": round(enc_mps, 2),
         "unit": "MP/s",
-        "vs_baseline": round(mps / baseline, 2),
+        "vs_baseline": round(enc_mps / baseline, 2),
+        "extra": {"decode_transform_mp_s": round(dec_mps, 2),
+                  "batch": b},
     }))
 
 

@@ -142,3 +142,87 @@ def decode_transform(y_coeff: jnp.ndarray, u_coeff: jnp.ndarray,
 
 
 decode_transform_jit = jax.jit(decode_transform)
+
+
+# ---------------------------------------------------------------------------
+# Encode transform: batched 2-level analysis (the encoder's device core).
+# Mirrors ops.analysis (encoder/wavelet_filterbank.c:52-302) functionally:
+# no in-place buffer dance, planes are values.
+
+from nhwcodec_tpu.ops.analysis import down_53, down_iv, down_vi
+
+
+def _analysis_level(plane: jnp.ndarray, res_high: int = 0) -> jnp.ndarray:
+    """One full 2-D analysis level on an (..., M, M) block: horizontal raw
+    IV pass, transpose, per-half column filters (VI top / plain 53
+    bottom), LL-quadrant transpose-back.  Returns the (..., M, M) subband
+    layout the reference leaves in its process plane, with the LL quadrant
+    already transposed back."""
+    m = plane.shape[-1]
+    h = m // 2
+    low, high = down_iv(plane, xp=jnp)
+    t = _t(jnp.concatenate([low, high], axis=-1).astype(jnp.int16))
+    top_l, top_h = down_vi(t[..., :h, :], xp=jnp)
+    bot_l, bot_h = down_53(t[..., h:, :], xp=jnp)
+    out = jnp.concatenate([
+        jnp.concatenate([top_l, top_h], axis=-1),
+        jnp.concatenate([bot_l, bot_h], axis=-1)], axis=-2).astype(jnp.int16)
+    return out.at[..., :h, :h].set(_t(out[..., :h, :h]))
+
+
+def encode_transform_y(y: jnp.ndarray) -> jnp.ndarray:
+    """(..., 512, 512) int16 luma -> 2-level coefficient plane: level-1
+    subbands with the level-2 decomposition of the LL quadrant in place
+    (the working layout of encoder/nhw_encoder.c:125-139)."""
+    y = jnp.asarray(y).astype(jnp.int16)
+    l1 = _analysis_level(y)
+    l2 = _analysis_level(l1[..., :D, :D])
+    # the second level's result stays transposed in the reference's
+    # process plane; keep the natural orientation here (device layout)
+    return l1.at[..., :D, :D].set(l2)
+
+
+def encode_transform_uv(c: jnp.ndarray) -> jnp.ndarray:
+    """(..., 256, 256) int16 chroma -> 2-level coefficient plane."""
+    c = jnp.asarray(c).astype(jnp.int16)
+    l1 = _analysis_level(c)
+    l2 = _analysis_level(l1[..., :128, :128])
+    return l1.at[..., :128, :128].set(l2)
+
+
+def rgb_to_yuv420_device(rgb: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray,
+                                                    jnp.ndarray]:
+    """Batched device colorspace (float32; the exact-double host path is
+    ops.colorspace).  rgb: (..., 512, 512, 3) uint8."""
+    r = rgb[..., 0].astype(jnp.float32)
+    g = rgb[..., 1].astype(jnp.float32)
+    b = rgb[..., 2].astype(jnp.float32)
+    y = jnp.trunc(0.299 * r + 0.587 * g + 0.114 * b + 0.5).astype(jnp.int16)
+    cb = -0.1687 * r - 0.3313 * g + 0.5 * b
+    cr = 0.5 * r - 0.4187 * g - 0.0813 * b
+    u = jnp.clip(jnp.trunc(cb + 128.5), 0, 255).astype(jnp.int32)
+    v = jnp.clip(jnp.trunc(cr + 128.5), 0, 255).astype(jnp.int32)
+
+    def down(c):
+        h = jnp.concatenate([
+            (c[..., :, :1] + c[..., :, 1:2] + 1) >> 1,
+            (c[..., :, 1:510:2] + 2 * c[..., :, 2:511:2]
+             + c[..., :, 3:512:2] + 2) >> 2], axis=-1)
+        o = jnp.concatenate([
+            (h[..., :1, :] + h[..., 1:2, :] + 1) >> 1,
+            (h[..., 1:510:2, :] + 2 * h[..., 2:511:2, :]
+             + h[..., 3:512:2, :] + 2) >> 2], axis=-2)
+        return o.astype(jnp.int16)
+
+    return y, down(u), down(v)
+
+
+def encode_transform(rgb: jnp.ndarray):
+    """Full batched device encode transform: (..., 512, 512, 3) uint8 ->
+    (y_coeff (..., 512,512) i16, u_coeff, v_coeff (..., 256,256) i16)."""
+    y, u, v = rgb_to_yuv420_device(rgb)
+    return (encode_transform_y(y), encode_transform_uv(u),
+            encode_transform_uv(v))
+
+
+encode_transform_jit = jax.jit(encode_transform)
