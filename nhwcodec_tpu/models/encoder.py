@@ -45,35 +45,48 @@ def _band_snap_pass(pf: np.ndarray, rows: range, col0: int, col1: int,
                     second_rule: bool, snap_guard6: bool,
                     guard_col: int | None = None) -> None:
     """Shared coefficient snap/dead-zone pass
-    (encoder/nhw_encoder.c:1923-2098, three band variants)."""
-    for r in rows:
-        base = r * N
-        for j in range(col0, col1):
+    (encoder/nhw_encoder.c:1923-2098, three band variants).
+
+    Positions below the threshold are zeroed in visit order; the pair
+    fixups only ever write to above-threshold positions, so the gaps
+    between candidates hold their initial values until visited and can be
+    zeroed in vectorized spans as the scan passes them."""
+    plane = pf[: 4 * SZ].reshape(N, N)
+    region = plane[rows.start: rows.stop, col0: col1]
+    alive = np.abs(region) >= ratio_thr
+    gc = guard_col if guard_col is not None else col1 - 1
+
+    for rr in range(region.shape[0]):
+        base = (rows.start + rr) * N
+        cols = np.nonzero(alive[rr])[0]
+        prev = col0
+        for j0 in cols.tolist():
+            j = col0 + int(j0)
+            if prev < j:
+                pf[base + prev: base + j] = 0
+            prev = j + 1
             a = base + j
             v = int(pf[a])
-            if abs(v) >= ratio_thr:
-                if abs(v) < y_wavelet2:
-                    cnt = 0
-                    if abs(int(pf[a - 1])) + 2 >= 8:
-                        cnt += 1
-                    if abs(int(pf[a + 1])) + 2 >= 8:
-                        cnt += 1
-                    if abs(int(pf[a - N])) + 2 >= 8:
-                        cnt += 1
-                    if abs(int(pf[a + N])) + 2 >= 8:
-                        cnt += 1
-                    if cnt < 3 and -y_wavelet < v < y_wavelet:
-                        if snap_guard6:
-                            if v < -6:
-                                pf[a] = -7
-                            elif v > 6:
-                                pf[a] = 7
-                        else:
-                            pf[a] = -7 if v < 0 else 7
-                    elif second_rule and not cnt and abs(v) < y_wavelet2:
+            if abs(v) < y_wavelet2:
+                cnt = 0
+                if abs(int(pf[a - 1])) + 2 >= 8:
+                    cnt += 1
+                if abs(int(pf[a + 1])) + 2 >= 8:
+                    cnt += 1
+                if abs(int(pf[a - N])) + 2 >= 8:
+                    cnt += 1
+                if abs(int(pf[a + N])) + 2 >= 8:
+                    cnt += 1
+                if cnt < 3 and -y_wavelet < v < y_wavelet:
+                    if snap_guard6:
+                        if v < -6:
+                            pf[a] = -7
+                        elif v > 6:
+                            pf[a] = 7
+                    else:
                         pf[a] = -7 if v < 0 else 7
-            else:
-                pf[a] = 0
+                elif second_rule and not cnt and abs(v) < y_wavelet2:
+                    pf[a] = -7 if v < 0 else 7
 
             e = int(pf[a])
             if abs(e) > 6:
@@ -89,11 +102,11 @@ def _band_snap_pass(pf: np.ndarray, rows: range, col0: int, col1: int,
                     if n1 < -14 and n1 < 10000:
                         if ((-n1) & 7) == 7:
                             pf[a + 1] = n1 + 1
-                        elif ((-n1) & 7) < 2 \
-                                and j < (guard_col if guard_col is not None
-                                         else col1 - 1) \
+                        elif ((-n1) & 7) < 2 and j < gc \
                                 and int(pf[a + 2]) <= 0:
                             pf[a + 1] = n1 + 1
+        if prev < col1:
+            pf[base + prev: base + col1] = 0
 
 
 def _tree1_tail(yplane: np.ndarray, quality: int, offset: int):

@@ -57,7 +57,7 @@ def _histogram(s: np.ndarray, p1: int, p2: int):
         if c:
             rle_128[e] += 1
         else:
-            rle_buf[int(s[i])] += 1
+            rle_buf[s[i]] += 1
         e = 1
         c = 0
         i += 1
@@ -182,35 +182,38 @@ def _serialize_tree2(entries: list[int]) -> tuple[np.ndarray, int]:
 
 
 class _BitPacker:
-    """32-bit MSB-first word packer (compress_pixel.c:329-356)."""
+    """32-bit MSB-first word packer (compress_pixel.c:329-356); plain
+    Python ints for speed, materialized to uint32 at the end."""
 
     def __init__(self):
-        self.words = np.zeros(80000, np.uint32)
+        self.words = [0] * 80000
         self.a = 0
         self.pack = 0
 
     def put(self, code: int, nbits: int) -> None:
-        self.pack += nbits
-        if self.pack <= 32:
-            self.words[self.a] |= np.uint32((code << (32 - self.pack))
-                                            & 0xFFFFFFFF)
+        pack = self.pack + nbits
+        if pack <= 32:
+            self.words[self.a] |= (code << (32 - pack)) & 0xFFFFFFFF
         else:
-            match = self.pack - 32
-            self.words[self.a] |= np.uint32(code >> match)
-            self.a += 1
-            self.words[self.a] |= np.uint32(
-                ((code & ((1 << match) - 1)) << (32 - match)) & 0xFFFFFFFF)
-            self.pack = match
+            match = pack - 32
+            w = self.words
+            a = self.a
+            w[a] |= code >> match
+            a += 1
+            w[a] |= (code << (32 - match)) & 0xFFFFFFFF
+            self.a = a
+            pack = match
+        self.pack = pack
 
 
 def wavlts2packet(im_nhw: np.ndarray, nhw_select1: int, nhw_select2: int
                   ) -> PacketResult:
     """Both Huffman passes over the full 6*IM_SIZE code stream."""
     res = PacketResult()
-    s = im_nhw
+    s = im_nhw.tolist()  # plain ints: the scan loops dominate otherwise
     packer = _BitPacker()
 
-    color = int(s[4 * SZ])
+    color = s[4 * SZ]
     s[4 * SZ] = 3
     sel1_bits: list[int] = []
     sel2_bits: list[int] = []
@@ -226,11 +229,13 @@ def wavlts2packet(im_nhw: np.ndarray, nhw_select1: int, nhw_select2: int
             packer.pack = 0
 
         rle_buf, rle_128 = _histogram(s, p1, p2)
+        sym_codes = [(int(T.HUFFMAN_CODES[k]), int(T.HUFFMAN_LENS[k]))
+                     for k in range(290)]
         entries, weights, select = _build_codebook(rle_buf, rle_128, select)
         k = len(entries)
 
-        sym_pos = np.zeros(256, np.int64)
-        run_pos = np.zeros(256, np.int64)
+        sym_pos = [0] * 256
+        run_pos = [0] * 256
         for idx, t in enumerate(entries):
             if (t >> 8) == 1:
                 sym_pos[t & 0xFF] = idx
@@ -244,14 +249,11 @@ def wavlts2packet(im_nhw: np.ndarray, nhw_select1: int, nhw_select2: int
             raise OverflowError("UV codebook >290")
         zone = 1 if (select == 4 and b_top == 1 and part == 0) else 0
 
-        codes = T.HUFFMAN_CODES
-        lens = T.HUFFMAN_LENS
-
         e = 1
         tag = 0
         i = p1
         while i < p2 - 1:
-            pixel = int(s[i])
+            pixel = s[i]
 
             if pixel == 153:
                 sel1_bits.append(0)
@@ -271,7 +273,7 @@ def wavlts2packet(im_nhw: np.ndarray, nhw_select1: int, nhw_select2: int
                 continue
 
             if pixel != 128 and 120 < pixel < 136:
-                pos = int(sym_pos[pixel])
+                pos = sym_pos[pixel]
                 if pixel > 131:
                     i += 4
             else:
@@ -289,23 +291,23 @@ def wavlts2packet(im_nhw: np.ndarray, nhw_select1: int, nhw_select2: int
                         i -= e - 1
                         tag = e
                         e = 1
-                pos = int(sym_pos[pixel]) if e == 1 else int(run_pos[e])
+                pos = sym_pos[pixel] if e == 1 else run_pos[e]
 
             while True:
                 if 110 <= pos < 174 and zone:
-                    packer.put((1 << 6) | (pos - 110), 15)
+                    packer.put(64 | (pos - 110), 15)
                 else:
                     p = pos
                     if p >= 174 and zone:
                         p -= 64
-                    packer.put(int(codes[p]), int(lens[p]))
+                    packer.put(*sym_codes[p])
                 e = 1
                 if tag > 0:
                     tag -= 1
                     if tag > 0:
                         i += 1
                         # C re-enters L_JUMP with the stale pixel (==128)
-                        pos = int(sym_pos[128])
+                        pos = sym_pos[128]
                         continue
                 break
             i += 1
@@ -322,5 +324,5 @@ def wavlts2packet(im_nhw: np.ndarray, nhw_select1: int, nhw_select2: int
             res.size_data2 = packer.a + 1
             res.tree2, res.tree_end = _serialize_tree2(entries)
 
-    res.encode_words = packer.words[: res.size_data2]
+    res.encode_words = np.array(packer.words[: res.size_data2], np.uint32)
     return res

@@ -68,11 +68,22 @@ def _kernel_pass_simple(res: np.ndarray, cnt: np.ndarray) -> np.ndarray:
     return kernel
 
 
+_KERNEL_CACHE: dict[tuple[int, bytes], np.ndarray] = {}
+
+
 def kernel_for(yplane: np.ndarray, quality: int) -> np.ndarray:
     """The nhw_kernel plane (flat int32) — also needed by the encoder to
-    reproduce the reference's heap-tail reads past its tree1 buffer."""
+    reproduce the reference's heap-tail reads past its tree1 buffer.
+    Cached by plane contents (computed once per encode)."""
+    key = (quality, yplane.tobytes())
+    hit = _KERNEL_CACHE.get(key)
+    if hit is not None:
+        return hit
     res_a, cnt_a = _gradient_sums(yplane)
-    return _kernel_pass_simple(res_a, cnt_a)
+    k = _kernel_pass_simple(res_a, cnt_a)
+    _KERNEL_CACHE.clear()
+    _KERNEL_CACHE[key] = k
+    return k
 
 
 def pre_process_y(yplane: np.ndarray, quality: int) -> np.ndarray:
@@ -81,8 +92,7 @@ def pre_process_y(yplane: np.ndarray, quality: int) -> np.ndarray:
         return _pre_process_y_low(yplane, quality)
 
     jpeg = yplane.astype(np.int16).copy()
-    res_a, cnt_a = _gradient_sums(yplane)
-    kernel = _kernel_pass_simple(res_a, cnt_a)
+    kernel = kernel_for(yplane, quality)
 
     jf = jpeg.reshape(-1)
     kf = kernel.tolist()

