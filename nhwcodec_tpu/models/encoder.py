@@ -51,6 +51,18 @@ def _band_snap_pass(pf: np.ndarray, rows: range, col0: int, col1: int,
     fixups only ever write to above-threshold positions, so the gaps
     between candidates hold their initial values until visited and can be
     zeroed in vectorized spans as the scan passes them."""
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        lib.nhw_snap_pass(
+            ffi.cast("int16_t *", pf.ctypes.data), rows.start, rows.stop,
+            col0, col1, ratio_thr, y_wavelet, y_wavelet2,
+            1 if second_rule else 0, 1 if snap_guard6 else 0,
+            guard_col if guard_col is not None else col1 - 1)
+        return
+
     plane = pf[: 4 * SZ].reshape(N, N)
     region = plane[rows.start: rows.stop, col0: col1]
     alive = np.abs(region) >= ratio_thr
@@ -797,7 +809,7 @@ def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
     # (encoder/compress_pixel.c:878-1022); masks the UV planes to &252
     tree_uv = np.concatenate([t1u, t1v]) & 252
     ch_res = sec.pop("hrcomp_y") + ll2.uv_highres_compression(
-        tree_uv, tail=_tree1_tail(yplane, q, 8192))
+        tree_uv, tail=_tree1_tail(y_original, q, 8192))
     sec["ch_res"] = np.array(ch_res, np.uint8)
 
     pk = entropy_enc.wavlts2packet(im_nhw, sec["nhw_select1"],

@@ -1,0 +1,96 @@
+"""Native host runtime: C implementations of the raster-carried scans.
+
+Compiled on first import with cffi (API mode, gcc -O2) into a cached
+extension next to this package.  Set ``NHW_NATIVE=0`` to force the pure
+Python path (the two are bit-identical; the test suite runs both).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+_HERE = Path(__file__).resolve().parent
+
+_CDEF = """
+void nhw_histogram(const uint8_t *s, long p1, long p2,
+                   int64_t *rle_buf, int64_t *rle_128);
+long nhw_emit(const uint8_t *s, long p1, long p2, int select, int zone,
+              const int32_t *sym_pos, const int32_t *run_pos,
+              const uint32_t *codes, const int32_t *lens,
+              uint32_t *words, long a_in, int pack_in,
+              uint8_t *sel1_bits, long *n_sel1,
+              uint8_t *sel2_bits, long *n_sel2,
+              int *pack_out);
+void nhw_offset_y(int16_t *pf, int quality, int m1, int low4);
+void nhw_snap_pass(int16_t *pf, int r0, int r1_, int col0, int col1,
+                   int ratio_thr, int y_wavelet, int y_wavelet2,
+                   int second_rule, int snap_guard6, int guard_col);
+void nhw_column_ladder(int16_t *pf, int16_t *rf, int quality, int low1,
+                       int low2, int hi1, int res_setting);
+void nhw_classify(int16_t *pf, int16_t *rf, int hi1, int res_setting,
+                  long *counts);
+void nhw_scan_ladder(int16_t *jf, int16_t *pf, const int16_t *rf);
+void nhw_offset_uv(int16_t *pf, int m2);
+void nhw_select_codes(uint8_t *s, long *sel1_out, long *sel2_out);
+void nhw_cap_long_runs(uint8_t *s);
+void nhw_merge_crossing(uint8_t *s);
+void nhw_decode_y(const uint8_t *bits, const int32_t *nt1,
+                  const int32_t *nt2, const int32_t *vals,
+                  const int32_t *rles, const uint8_t *sel1,
+                  const uint8_t *sel2, int zone_on, const int8_t *extra,
+                  int16_t *out, long p1);
+void nhw_decode_uv(const uint8_t *bits, const int32_t *nt1,
+                   const int32_t *nt2, const int32_t *vals,
+                   const int32_t *rles, const int8_t *extra,
+                   int16_t *out, long p1);
+"""
+
+_lib = None
+_ffi = None
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _load():
+    global _lib, _ffi
+    if _lib is not None:
+        return _lib
+    if os.environ.get("NHW_NATIVE", "1") == "0":
+        return None
+    try:
+        from cffi import FFI
+
+        ffi = FFI()
+        ffi.cdef(_CDEF)
+        src = (_HERE / "hotpass.c").read_text()
+        ffi.set_source("nhwcodec_tpu.native._hotpass", src,
+                       extra_compile_args=["-O2"])
+        import sys
+
+        build_dir = _HERE / "_build"
+        build_dir.mkdir(exist_ok=True)
+        so_name = None
+        for p in (_HERE).glob("_hotpass*.so"):
+            so_name = p
+            break
+        if so_name is None:
+            ffi.compile(tmpdir=str(build_dir), verbose=False)
+            import shutil
+
+            for p in build_dir.glob("nhwcodec_tpu/native/_hotpass*.so"):
+                shutil.copy(p, _HERE / p.name)
+        from nhwcodec_tpu.native import _hotpass  # type: ignore
+
+        _lib = _hotpass.lib
+        _ffi = _hotpass.ffi
+        return _lib
+    except Exception:  # noqa: BLE001 — fall back to pure Python
+        return None
+
+
+def ffi():
+    _load()
+    return _ffi

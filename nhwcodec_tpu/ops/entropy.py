@@ -217,6 +217,33 @@ def decode_y(
     sel2 = expand_bits(select_word2).tolist()
     zone_on = res_high < 4
 
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        bits = bits_of_words(packet1, pad_words=8)
+        nt1 = np.array(_NT1, np.int32)
+        nt2 = np.array(_NT2, np.int32)
+        va = np.array(vals, np.int32)
+        rl = np.array(rles, np.int32)
+        s1 = np.ascontiguousarray(np.array(sel1 + [0] * 8, np.uint8))
+        s2 = np.ascontiguousarray(np.array(sel2 + [0] * 8, np.uint8))
+        ex = np.array(_EXTRA, np.int8)
+        out = np.zeros(p1 + 512, np.int16)
+        lib.nhw_decode_y(
+            ffi.cast("uint8_t *", bits.ctypes.data),
+            ffi.cast("int32_t *", nt1.ctypes.data),
+            ffi.cast("int32_t *", nt2.ctypes.data),
+            ffi.cast("int32_t *", va.ctypes.data),
+            ffi.cast("int32_t *", rl.ctypes.data),
+            ffi.cast("uint8_t *", s1.ctypes.data),
+            ffi.cast("uint8_t *", s2.ctypes.data),
+            1 if zone_on else 0,
+            ffi.cast("int8_t *", ex.ctypes.data),
+            ffi.cast("int16_t *", out.ctypes.data), p1)
+        return out[:p1].copy()
+
     out = [0] * (p1 + 512)
     bits = bits_of_words(packet1).tolist()
     pos = 0
@@ -348,6 +375,28 @@ def decode_uv(
     (decoder/compress_pixel.c:446-641).  Zone coding never applies to UV."""
     vals, rles = build_uv_book(tree2, tree_end)
     extra = _EXTRA
+
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        bits = bits_of_words(packet2, pad_words=8)
+        nt1 = np.array(_NT1, np.int32)
+        nt2 = np.array(_NT2, np.int32)
+        va = np.array(vals, np.int32)
+        rl = np.array(rles, np.int32)
+        ex = np.array(_EXTRA, np.int8)
+        out = np.zeros(p1 + 512, np.int16)
+        lib.nhw_decode_uv(
+            ffi.cast("uint8_t *", bits.ctypes.data),
+            ffi.cast("int32_t *", nt1.ctypes.data),
+            ffi.cast("int32_t *", nt2.ctypes.data),
+            ffi.cast("int32_t *", va.ctypes.data),
+            ffi.cast("int32_t *", rl.ctypes.data),
+            ffi.cast("int8_t *", ex.ctypes.data),
+            ffi.cast("int16_t *", out.ctypes.data), p1)
+        return out[:2 * T.IM_SIZE].copy()
 
     out = [0] * (p1 + 512)
     bits = bits_of_words(packet2).tolist()

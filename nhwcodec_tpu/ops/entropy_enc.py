@@ -209,6 +209,10 @@ class _BitPacker:
 def wavlts2packet(im_nhw: np.ndarray, nhw_select1: int, nhw_select2: int
                   ) -> PacketResult:
     """Both Huffman passes over the full 6*IM_SIZE code stream."""
+    from nhwcodec_tpu import native
+
+    if native.available():
+        return _wavlts2packet_native(im_nhw, native)
     res = PacketResult()
     s = im_nhw.tolist()  # plain ints: the scan loops dominate otherwise
     packer = _BitPacker()
@@ -325,4 +329,93 @@ def wavlts2packet(im_nhw: np.ndarray, nhw_select1: int, nhw_select2: int
             res.tree2, res.tree_end = _serialize_tree2(entries)
 
     res.encode_words = np.array(packer.words[: res.size_data2], np.uint32)
+    return res
+
+
+def _wavlts2packet_native(im_nhw: np.ndarray, native) -> PacketResult:
+    """Native-scan variant: histogram + emit run in C, codebook build and
+    serialization stay in Python (identical results to the list path)."""
+    lib = native._load()
+    ffi = native.ffi()
+    res = PacketResult()
+    s = np.ascontiguousarray(im_nhw, np.uint8)
+    sp = ffi.cast("uint8_t *", s.ctypes.data)
+
+    words = np.zeros(80000, np.uint32)
+    wp = ffi.cast("uint32_t *", words.ctypes.data)
+    sel1 = np.zeros(1 << 17, np.uint8)
+    sel2 = np.zeros(1 << 17, np.uint8)
+    n_sel1 = ffi.new("long *", 0)
+    n_sel2 = ffi.new("long *", 0)
+    pack_out = ffi.new("int *", 0)
+
+    color = int(s[4 * SZ])
+    s[4 * SZ] = 3
+    a = 0
+    pack = 0
+
+    for part in (0, 1):
+        if part == 0:
+            p1, p2, select0 = 0, 4 * SZ, 4
+        else:
+            s[4 * SZ] = color
+            s[6 * SZ - 1] = s[6 * SZ - 2]
+            p1, p2, select0 = 4 * SZ, 6 * SZ, 3
+            a += 1
+            pack = 0
+
+        rle_buf = np.zeros(256, np.int64)
+        rle_128 = np.zeros(256, np.int64)
+        lib.nhw_histogram(sp, p1, p2,
+                          ffi.cast("int64_t *", rle_buf.ctypes.data),
+                          ffi.cast("int64_t *", rle_128.ctypes.data))
+        entries, weights, select = _build_codebook(rle_buf, rle_128, select0)
+        k = len(entries)
+
+        sym_pos = np.zeros(256, np.int32)
+        run_pos = np.zeros(256, np.int32)
+        for idx, t in enumerate(entries):
+            if (t >> 8) == 1:
+                sym_pos[t & 0xFF] = idx
+            else:
+                run_pos[t >> 8] = idx
+
+        b_top = 1 if entries and entries[0] == ((1 << 8) | 128) else 0
+        if part == 0 and b_top == 0 and k > 290:
+            raise OverflowError("Y codebook >290 without top run symbol")
+        if part == 1 and select != 4 and k > 290:
+            raise OverflowError("UV codebook >290")
+        zone = 1 if (select == 4 and b_top == 1 and part == 0) else 0
+
+        codes = np.zeros(354, np.uint32)
+        lens = np.zeros(354, np.int32)
+        codes[:290] = T.HUFFMAN_CODES
+        lens[:290] = T.HUFFMAN_LENS
+
+        a = lib.nhw_emit(sp, p1, p2, select, zone,
+                         ffi.cast("int32_t *", sym_pos.ctypes.data),
+                         ffi.cast("int32_t *", run_pos.ctypes.data),
+                         ffi.cast("uint32_t *", codes.ctypes.data),
+                         ffi.cast("int32_t *", lens.ctypes.data),
+                         wp, a, pack,
+                         ffi.cast("uint8_t *", sel1.ctypes.data), n_sel1,
+                         ffi.cast("uint8_t *", sel2.ctypes.data), n_sel2,
+                         pack_out)
+        pack = pack_out[0]
+
+        if part == 0:
+            res.size_data1 = a + 1
+            res.wavelet_type = 4 if (select > 4 or b_top == 0) else 0
+            res.select_word1, _ = _pack_select_bits(
+                sel1[: n_sel1[0]].tolist())
+            res.nhw_select1 = len(res.select_word1)
+            res.select_word2, _ = _pack_select_bits(
+                sel2[: n_sel2[0]].tolist())
+            res.nhw_select2 = len(res.select_word2)
+            res.tree1 = _serialize_tree1(entries)
+        else:
+            res.size_data2 = a + 1
+            res.tree2, res.tree_end = _serialize_tree2(entries)
+
+    res.encode_words = words[: res.size_data2].copy()
     return res

@@ -37,6 +37,17 @@ def offset_y(process: np.ndarray, quality: int, m1: int) -> None:
     sparse candidate set in raster order with live reads; zero positions
     become 128 in bulk afterwards (backward reads distinguish only the
     sign/range of earlier codes, identical for 0 and 128)."""
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        pf = np.concatenate([process.reshape(-1), np.zeros(8, np.int16)])
+        lib.nhw_offset_y(ffi.cast("int16_t *", pf.ctypes.data), quality, m1,
+                         1 if quality <= T.LOW4 else 0)
+        process.reshape(-1)[:] = pf[:4 * SZ]
+        return
+
     pf = np.concatenate([process.reshape(-1), np.zeros(8, np.int16)])
 
     # pass 1: even-pair decrements in the bands (194-237)
@@ -252,6 +263,16 @@ def offset_uv(process: np.ndarray, m2: int) -> None:
     """Quantize one chroma coefficient plane in place
     (encoder/image_processing.c:108-183).  Same one-past heap read as
     offset_y at the last position."""
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        pf = np.concatenate([process.reshape(-1), np.zeros(8, np.int16)])
+        lib.nhw_offset_uv(ffi.cast("int16_t *", pf.ctypes.data), m2)
+        process.reshape(-1)[:] = pf[:SZ]
+        return
+
     pf = np.concatenate([process.reshape(-1), np.zeros(8, np.int16)])
     i = 0
     while i < SZ:
@@ -337,6 +358,14 @@ def serpentine_uv(im_nhw: np.ndarray, process: np.ndarray,
 def merge_crossing_codes(s: np.ndarray) -> None:
     """Merge 136/120 codes across 3-gap 128 runs into 132-135 + 201
     (encoder/nhw_encoder.c:2136-2160).  Cursor semantics matter."""
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        lib.nhw_merge_crossing(ffi.cast("uint8_t *", s.ctypes.data))
+        return
+
     i = 0
     end = 4 * SZ - 4
     while i < end:
@@ -374,6 +403,16 @@ def select_codes(s: np.ndarray) -> tuple[int, int]:
     """Promote isolated 136/120 codes to select codes 153/155/157/159
     (encoder/nhw_encoder.c:2162-2217).  Returns (nhw_select1, nhw_select2).
     """
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        o1 = ffi.new("long *")
+        o2 = ffi.new("long *")
+        lib.nhw_select_codes(ffi.cast("uint8_t *", s.ctypes.data), o1, o2)
+        return int(o1[0]), int(o2[0])
+
     s[0:4] = 128
     s[4 * SZ - 4: 4 * SZ] = 128
     sel1 = sel2 = 0
@@ -406,6 +445,14 @@ def select_codes(s: np.ndarray) -> tuple[int, int]:
 def cap_long_runs(s: np.ndarray) -> None:
     """Demote select codes at >255-long 128 runs
     (encoder/nhw_encoder.c:2220-2252)."""
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        lib.nhw_cap_long_runs(ffi.cast("uint8_t *", s.ctypes.data))
+        return
+
     def demote(k: int) -> None:
         if s[k] == 153:
             s[k] = 124

@@ -89,6 +89,19 @@ def requant_scan_ladder(jpeg: np.ndarray, process: np.ndarray,
     im_jpeg[e]=res256 for every position)."""
     pf = process.reshape(-1)
     jf = jpeg.reshape(-1)
+
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        r16 = np.ascontiguousarray(res256.reshape(-1), np.int16)
+        lib.nhw_scan_ladder(
+            ffi.cast("int16_t *", jf.ctypes.data),
+            ffi.cast("int16_t *", pf.ctypes.data),
+            ffi.cast("int16_t *", r16.ctypes.data))
+        return
+
     r256 = res256.reshape(-1).astype(np.int32)
 
     jpeg[:D, :D] = res256

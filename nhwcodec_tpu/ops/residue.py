@@ -75,6 +75,19 @@ def res256_column_ladder(process: np.ndarray, res256: np.ndarray,
         oob[8:] = r3[:1016]
     rf = np.concatenate([res256.reshape(-1), oob])
 
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        lib.nhw_column_ladder(
+            ffi.cast("int16_t *", pf.ctypes.data),
+            ffi.cast("int16_t *", rf.ctypes.data), quality,
+            1 if quality >= T.LOW1 else 0, 1 if quality == T.LOW2 else 0,
+            1 if quality >= T.HIGH1 else 0, res_setting)
+        res256.reshape(-1)[:] = rf[:SZ]
+        return
+
     for j in range(D):
         for r in range(D - 1):
             scan = r * N + j
@@ -249,6 +262,19 @@ def res256_classify(process: np.ndarray, res256: np.ndarray, quality: int,
     pf = process.reshape(-1)
     rf = res256.reshape(-1)
     n1 = n3 = n5 = 0
+
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        counts = np.zeros(3, np.int64)
+        lib.nhw_classify(
+            ffi.cast("int16_t *", pf.ctypes.data),
+            ffi.cast("int16_t *", rf.ctypes.data),
+            1 if quality >= T.HIGH1 else 0, res_setting,
+            ffi.cast("long *", counts.ctypes.data))
+        return int(counts[0]), int(counts[1]), int(counts[2])
 
     for r in range(D):
         for j in range(D):

@@ -115,3 +115,30 @@ def test_encode_quality_sweep(fixture_dir, q):
         rgb = bmp_io.read_bmp512(fixture_dir / f"{name}.bmp")
         mine = nhwcodec_tpu.encode(rgb, q)
         assert container.equal_modulo_dead_bits(mine, nhw.read_bytes())
+
+
+@requires_oracle
+def test_pure_python_path_matches(fixture_dir):
+    """The NHW_NATIVE=0 pure-Python path stays bit-identical (runs a
+    subprocess so the env var applies before the native module loads)."""
+    import os
+    import subprocess
+
+    code = (
+        "import sys; sys.path.insert(0,'tools')\n"
+        "import pathlib\n"
+        "import nhwcodec_tpu\n"
+        "from nhwcodec_tpu.utils import bmp, container\n"
+        "from nhwcodec_tpu import native\n"
+        "assert not native.available()\n"
+        "rgb = bmp.read_bmp512('.oracle/fixtures/blocks.bmp')\n"
+        "mine = nhwcodec_tpu.encode(rgb, 20)\n"
+        "ref = pathlib.Path('.oracle/fixtures/blocks_q20.nhw')"
+        ".read_bytes()\n"
+        "assert container.equal_modulo_dead_bits(mine, ref)\n"
+        "print('OK')\n")
+    env = dict(os.environ, NHW_NATIVE="0")
+    out = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr
+    assert "OK" in out.stdout
