@@ -968,3 +968,167 @@ void nhw_decode_uv(const uint8_t *bits, const int32_t *nt1,
         if (e >= p1 - 1) break;
     }
 }
+
+/* ------------------------------------------------------------------ */
+/* pre-filter kernel pass + q>LOW4 pair walk (ops/prefilter.py)        */
+
+void nhw_kernel_simple(const int32_t *res, const int32_t *cnt, int32_t *out)
+{
+    int r, j;
+    int res4 = 0;
+    for (r = 1; r < 511; r++) {
+        long base = (long)r * N;
+        for (j = 1; j < 511; j++) {
+            long scan = base + j;
+            int v = res[scan];
+            if (v < 0) {
+                res4 = 15 * (-v) + cnt[scan] + ((res4 + 2) >> 2);
+                out[scan] = -(res4 >> 4);
+                res4 &= 15;
+            } else if (v > 0) {
+                res4 = 15 * v + cnt[scan] + ((res4 + 2) >> 2);
+                out[scan] = res4 >> 4;
+                res4 &= 15;
+            } else {
+                out[scan] = 0;
+                res4 = 0;
+            }
+        }
+    }
+}
+
+void nhw_pair_walk_simple(int16_t *jf, const int32_t *kf)
+{
+    int r;
+    int a = 0;
+    for (r = 1; r < 511; r++) {
+        long base = (long)r * N;
+        long j = 1;
+        while (j < 510) {
+            long s0 = base + j, s1 = base + j + 1;
+            int res = kf[s0], count = kf[s1];
+            int e;
+
+            if (res > 201) { jf[s0] -= 2; e = 4; }
+            else if (res < -201) { jf[s0] += 2; e = 3; }
+            else if (res > 176) { jf[s0] -= 1; e = 2; }
+            else if (res < -176) { jf[s0] += 1; e = 1; }
+            else e = 0;
+            if (count > 201) {
+                if (e == 0 || e == 3) jf[s1] -= 2;
+                else if (e != 4) jf[s1] -= 1;
+            } else if (count < -201) {
+                if (e == 0 || e == 4) jf[s1] += 2;
+                else if (e != 3) jf[s1] += 1;
+            } else if (count > 176) {
+                if (e != 4) jf[s1] -= 1;
+            } else if (count < -176) {
+                if (e != 3) jf[s1] += 1;
+            }
+
+            if (res > 10 && res < 32) {
+                if (count >= 23 || count <= -23) {
+                    if (res < 16) {
+                        if (count > 0 && count < 32 && res > 11) jf[s1] += 1;
+                        jf[s0] += 1;
+                        a = 0; j += 2; continue;
+                    } else {
+                        jf[s0] += a ? 1 : 2;
+                        a = 0; j += 2; continue;
+                    }
+                }
+            } else if (res > -32 && res < -10) {
+                if (count >= 23 || count <= -23) {
+                    if (res > -16) {
+                        if (count > -32 && count < 0 && res < -11)
+                            jf[s1] -= 1;
+                        jf[s0] -= 1;
+                        a = 0; j += 2; continue;
+                    } else {
+                        jf[s0] -= a ? 1 : 2;
+                        a = 0; j += 2; continue;
+                    }
+                }
+            }
+            a = 0;
+            if (count > 10 && count < 32) {
+                if (res >= 23 || res <= -23) {
+                    if (count < 16) {
+                        if (res > 0 && res < 32 && count > 11) jf[s0] += 1;
+                        jf[s1] += 1;
+                    } else { jf[s1] += 2; a = 1; }
+                }
+            } else if (count > -32 && count < -10) {
+                if (res >= 23 || res <= -23) {
+                    if (count > -16) {
+                        if (res > -32 && res < 0 && count < -11) jf[s0] -= 1;
+                        jf[s1] -= 1;
+                    } else { jf[s1] -= 2; a = 1; }
+                }
+            }
+            j += 2;
+        }
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* offsetY_recons256 band quantizer (ops/requant.py _quantize_band)    */
+
+void nhw_quantize_band(int16_t *jf, int16_t *pf, int low4, int m1, int part,
+                       int r0, int r1_, int c0, int c1)
+{
+    int r;
+    for (r = r0; r < r1_; r++) {
+        long base = (long)r * N;
+        int quant = 0, quant6 = 0;
+        long j = c0;
+        while (j < c1) {
+            int a = pf[base + j];
+            if (a > 15000) {
+                switch (a) {
+                case 15300: jf[base + j] = 5; j += 3; break;
+                case 15400: jf[base + j] = -5; j += 3; break;
+                case 15500: jf[base + j] = 5; j += 2; break;
+                case 15600: jf[base + j] = -5; j += 2; break;
+                case 15700: jf[base + j] = 6; jf[base + j + 1] = 6;
+                            j += 2; break;
+                case 15800: jf[base + j] = -6; jf[base + j + 1] = -6;
+                            j += 2; break;
+                default: j += 1;
+                }
+                continue;
+            }
+            if (a < -12 && (((-a) & 7) == 6)) {
+                if (j < 255 && pf[base + j + 1] == -7) pf[base + j + 1] = -8;
+            }
+            if (a < 0) {
+                if (a == -7 && j < 255 && pf[base + j + 1] == 8) {
+                    pf[base + j] = -8; a = -8;
+                }
+                a = -a;
+                if (low4) {
+                    if (a == 15) {
+                        if (!quant) { a &= 65528; quant = 1; }
+                        else quant = (quant + 1) % 6;
+                    } else if (a > 22 && (a & 7) == 7) {
+                        if (!quant6) { a &= 65528; quant6 = 1; }
+                        else quant6 = (quant6 + 1) % 4;
+                    } else a &= 65528;
+                } else {
+                    if ((a & 7) < 7) a &= 65528;
+                }
+                a = -a;
+            } else if (a == 8 && j < 255 && pf[base + j + 1] == -7) {
+                pf[base + j + 1] = -8;
+            } else if (a > 12 && !part && (a & 7) >= 6) {
+                if (j < 255 && pf[base + j + 1] == 7) pf[base + j + 1] = 8;
+            }
+            if (a < m1 && a > -m1) { jf[base + j] = 0; j += 1; continue; }
+            a += 128;
+            if (a < 0) a = -((-a) & 65528);
+            else a &= 65528;
+            jf[base + j] = (int16_t)(a > 128 ? a - 125 : a - 131);
+            j += 1;
+        }
+    }
+}

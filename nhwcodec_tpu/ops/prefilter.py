@@ -43,6 +43,19 @@ def _kernel_pass_simple(res: np.ndarray, cnt: np.ndarray) -> np.ndarray:
     """nhw_kernel for q>LOW4 (encoder/image_processing.c:601-764 with the
     low-quality gates off): res4 is a 4-bit accumulator carried across the
     whole raster (reset on res==0)."""
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        rf = np.ascontiguousarray(res.reshape(-1), np.int32)
+        cf = np.ascontiguousarray(cnt.reshape(-1), np.int32)
+        out = np.zeros(SZ4, np.int32)
+        lib.nhw_kernel_simple(ffi.cast("int32_t *", rf.ctypes.data),
+                              ffi.cast("int32_t *", cf.ctypes.data),
+                              ffi.cast("int32_t *", out.ctypes.data))
+        return out
+
     kernel = np.zeros(SZ4, np.int32)
     rf = res.reshape(-1).tolist()
     cf = cnt.reshape(-1).tolist()
@@ -93,6 +106,17 @@ def pre_process_y(yplane: np.ndarray, quality: int) -> np.ndarray:
 
     jpeg = yplane.astype(np.int16).copy()
     kernel = kernel_for(yplane, quality)
+
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        kc = np.ascontiguousarray(kernel, np.int32)
+        lib.nhw_pair_walk_simple(
+            ffi.cast("int16_t *", jpeg.ctypes.data),
+            ffi.cast("int32_t *", kc.ctypes.data))
+        return jpeg
 
     jf = jpeg.reshape(-1)
     kf = kernel.tolist()
