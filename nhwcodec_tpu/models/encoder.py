@@ -428,6 +428,16 @@ def _very_low_q_cleanup(pf, q, ratio):
     (encoder/nhw_encoder.c:311-621)."""
     x1, x2, x3, x4, x5, x6, x7 = _VLQ_THRX(q, pf)
 
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        lib.nhw_very_low_q_cleanup(
+            ffi.cast("int16_t *", pf.ctypes.data),
+            1 if q <= T.LOW9 else 0, x1, x2, x3, x4, x5, x6, x7)
+        return
+
     # C shares one `count` local across passes 1-3; pass 3's q<=LOW9
     # block can consume a stale value (nhw_encoder.c:571-579)
     carry = 0
@@ -618,6 +628,18 @@ def _lowest_q_band_cleanup(pf, resIII, q, ratio, tree1_y=None):
         oob[8:8 + 248] = (t[0::2] | (t[1::2] << 8)
                           ).astype(np.uint16).view(np.int16)
     r3 = np.concatenate([resIII.reshape(-1), oob])
+
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        r3c = np.ascontiguousarray(r3, np.int16)
+        lib.nhw_lowest_q_band_cleanup(
+            ffi.cast("int16_t *", pf.ctypes.data),
+            ffi.cast("int16_t *", r3c.ctypes.data),
+            ratio, 1 if q > T.LOW10 else 0, x1, x2, x3, x4, x5)
+        return
 
     for r in range(D):
         base = r * N

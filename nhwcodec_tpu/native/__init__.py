@@ -48,6 +48,21 @@ void nhw_kernel_simple(const int32_t *res, const int32_t *cnt, int32_t *out);
 void nhw_pair_walk_simple(int16_t *jf, const int32_t *kf);
 void nhw_quantize_band(int16_t *jf, int16_t *pf, int low4, int m1, int part,
                        int r0, int r1_, int c0, int c1);
+void nhw_kernel_low4(const int32_t *res, const int32_t *cnt, int32_t *out,
+                     int sharpness, int sharpn2);
+void nhw_sentinel_pass_low4(int16_t *jf, int32_t *kf, uint8_t *sharp,
+                            int sharpness, int sharpn2);
+void nhw_pair_sharpen_low4(int16_t *jf, const int32_t *kf,
+                           const uint8_t *sharp, int sharpness, int sharpn2);
+void nhw_pair_walk_low(int16_t *jf, const int16_t *pf, int32_t *kf,
+                       uint8_t *sharp_on, int low_on, int ladder_on,
+                       int sharpness, int sharpn2, int n1);
+void nhw_very_low_q_cleanup(int16_t *pf, int low9,
+                            int x1, int x2, int x3, int x4, int x5,
+                            int x6, int x7);
+void nhw_lowest_q_band_cleanup(int16_t *pf, const int16_t *r3pad,
+                               int ratio, int gt_low10,
+                               int x1, int x2, int x3, int x4, int x5);
 """
 
 _lib = None

@@ -1132,3 +1132,1095 @@ void nhw_quantize_band(int16_t *jf, int16_t *pf, int low4, int m1, int part,
         }
     }
 }
+
+/* ------------------------------------------------------------------ */
+/* q<=LOW4 pre-filter: kernel sentinels + t1..t44 pair walk + epilogues
+ * (ops/prefilter.py _kernel_pass_low4 / _pair_walk_low /
+ *  _sentinel_pass_low4 / _pair_sharpen_low4)                          */
+
+void nhw_kernel_low4(const int32_t *res, const int32_t *cnt, int32_t *out,
+                     int sharpness, int sharpn2)
+{
+    int r, j;
+    int res4 = 0, res3 = 0, a = 0;
+    int t1 = 0, t2 = 0, t4 = 0, t5 = 0, t6 = 0, t7 = 0;
+    for (r = 1; r < 511; r++) {
+        long base = (long)r * N;
+        for (j = 1; j < 511; j++) {
+            long scan = base + j;
+            int v = res[scan];
+            if (v < 0) {
+                int res2;
+                res4 = 15 * (-v) + cnt[scan] + ((res4 + 2) >> 2);
+                res2 = -(res4 >> 4);
+                res4 &= 15;
+                if (res2 == -sharpn2) {
+                    if (t7 < 3) { res2 = -sharpn2 - 1; t7++; }
+                }
+                if (-v <= sharpn2 && (res2 < -sharpn2 || res2 > sharpn2)
+                    && res2 >= -(sharpn2 + 20) && res2 <= sharpn2 + 20) {
+                    int k0 = out[scan - 1];
+                    if (j > 1 && (k0 < 0 ? -k0 : k0) <= (sharpness >> 1))
+                        res3 = 0;
+                    if (!res3) { out[scan] = -20000; res3 = 1; }
+                    else {
+                        out[scan] = res2;
+                        if (!t1) { res3 = 0; t1 = 1; }
+                        else {
+                            if (res3 == 1) res3 = 2;
+                            else {
+                                res3 = 0;
+                                if (t1 == 1) t1 = 2;
+                                else if (t1 == 2) t1 = 3;
+                                else t1 = 0;
+                            }
+                        }
+                    }
+                } else out[scan] = res2;
+            } else if (v > 0) {
+                int res2;
+                res4 = 15 * v + cnt[scan] + ((res4 + 2) >> 2);
+                res2 = res4 >> 4;
+                res4 &= 15;
+                if (v <= sharpn2 && res2 > sharpn2
+                    && res2 <= sharpn2 + 20) {
+                    int k0 = out[scan - 1];
+                    int ak0 = k0 < 0 ? -k0 : k0;
+                    if (j > 1 && ak0 <= (sharpness >> 1)) a = 0;
+                    else if (j > 1 && (ak0 > 10000 || k0 == sharpn2 + 21)) {
+                        if (!t4) { a = 0; if (!t2) t2 = 1; t4 = 1; }
+                        else t4 = 0;
+                    } else if (j > 1 && k0 == -(sharpn2 + 21)) {
+                        if (!t5) t5 = 1;
+                        else {
+                            if (!t4) { a = 0; if (!t2) t2 = 1; t4 = 1; }
+                            else t4 = 0;
+                            if (t5 == 1) t5 = 2; else t5 = 0;
+                        }
+                    } else if (j > 1 && k0 == sharpn2 + 22) {
+                        out[scan - 1] = 7000;
+                    }
+                    if (!a) { out[scan] = 20000; a = 1; }
+                    else {
+                        out[scan] = res2;
+                        if (!t2) { a = 0; t2 = 1; }
+                        else {
+                            if (a == 1) a = 2;
+                            else {
+                                a = 0;
+                                if (t2 == 1) t2 = 2;
+                                else if (t2 == 2) t2 = 3;
+                                else t2 = 0;
+                            }
+                        }
+                    }
+                } else if (res2 == sharpn2 + 21) {
+                    if (!t6) out[scan] = 7000; else out[scan] = res2;
+                    t6++;
+                } else out[scan] = res2;
+            } else {
+                out[scan] = 0;
+                res4 = 0;
+            }
+        }
+    }
+}
+
+void nhw_sentinel_pass_low4(int16_t *jf, int32_t *kf, uint8_t *sharp,
+                            int sharpness, int sharpn2)
+{
+    int t1 = 0, t2 = 0, t3 = 0, t4 = 0, t5 = 0, t6 = 0;
+    int r;
+    for (r = 1; r < 511; r++) {
+        long base = (long)r * N;
+        long j = 1;
+        int e = 0, t = 0, f = 0;
+        while (j < 509) {
+            long s0 = base + j, s1 = base + j + 1;
+            int res = kf[s0], count = kf[s1];
+            int ares = res < 0 ? -res : res;
+            int acount = count < 0 ? -count : count;
+
+            if (ares > 6000) {
+                if (res == 20000) {
+                    if (!t3) { kf[s0] = 0; t3 = 1; }
+                    else { kf[s0] = 5000; t3 = (t3 == 1) ? 2 : 0; }
+                } else if (res == -20000) {
+                    if (!t4) { kf[s0] = 0; t4 = 1; }
+                    else { kf[s0] = -5000; t4 = (t4 == 1) ? 2 : 0; }
+                } else if (res == 7000) kf[s0] = sharpn2 + 22;
+                if (!t2) {
+                    if (count == 20000) {
+                        if (!t5) { kf[s1] = 0; t5 = 1; }
+                        else { kf[s1] = 5000; t5 = (t5 == 1) ? 2 : 0; }
+                    } else if (count == -20000) {
+                        if (!t6) { kf[s1] = 0; t6 = 1; }
+                        else { kf[s1] = -5000; t6 = (t6 == 1) ? 2 : 0; }
+                    } else if (count == 7000) kf[s1] = sharpn2 + 22;
+                    t2 = 1;
+                } else t2 = 0;
+                if (!t1) { t1 = 1; j += 2; continue; }
+                t1 = 0;
+                /* fall through into the sharpening with the sentinel res */
+            } else if (acount > 6000) {
+                if (count == 20000) {
+                    if (!t5) { kf[s1] = 0; t5 = 1; }
+                    else { kf[s1] = 5000; t5 = (t5 == 1) ? 2 : 0; }
+                } else if (count == -20000) {
+                    if (!t6) { kf[s1] = 0; t6 = 1; }
+                    else { kf[s1] = -5000; t6 = (t6 == 1) ? 2 : 0; }
+                } else if (count == 7000) kf[s1] = sharpn2 + 22;
+                j += 2;
+                continue;
+            }
+
+            ares = res < 0 ? -res : res;
+            acount = count < 0 ? -count : count;
+            if (ares > sharpness + 20 && acount > (sharpness >> 1)
+                && acount <= sharpn2) {
+                if (res > 0) {
+                    jf[s0] += 1; sharp[s0] = 1;
+                    if (count > 0) { jf[s1] += 2; sharp[s1] = 1; }
+                    if (s1 >= 2 * N + 2) {
+                        long sc = s1 - N;
+                        int r2 = kf[sc];
+                        if (r2 > 4) { jf[sc] += 1; sharp[sc] = 1; }
+                        sc -= 1;
+                        {
+                            int r3 = kf[sc];
+                            if (r3 > 4) { jf[sc] += 1; sharp[sc] = 1; }
+                            if (r2 < -24 && !t) { jf[sc+1] -= 1; sharp[sc+1] = 1; }
+                            if (r3 < -24 && !t) { jf[sc] -= 1; sharp[sc] = 1; }
+                        }
+                    }
+                    e = 0; f = 0;
+                } else if (res < 0) {
+                    jf[s0] -= 1; sharp[s0] = 1;
+                    if (count < 0) { jf[s1] -= 2; sharp[s1] = 1; }
+                    if (s1 >= 2 * N + 2) {
+                        long sc = s1 - N;
+                        int r2 = kf[sc];
+                        if (r2 < -4) { jf[sc] -= 1; sharp[sc] = 1; }
+                        sc -= 1;
+                        {
+                            int r3 = kf[sc];
+                            if (r3 < -4) { jf[sc] -= 1; sharp[sc] = 1; }
+                            if (r2 > 24 && !t) { jf[sc+1] += 1; sharp[sc+1] = 1; }
+                            if (r3 > 24 && !t) { jf[sc] += 1; sharp[sc] = 1; }
+                        }
+                    }
+                    e = 0; f = 0;
+                }
+                if (t == 1) { j += 1; t = 0; }
+                else if (t == 2) { j += 3; t = 0; }
+                j += 2;
+            } else if (acount > sharpness + 20 && ares > (sharpness >> 1)
+                       && ares <= sharpn2) {
+                if (count > 0) {
+                    jf[s1] += 1; sharp[s1] = 1;
+                    if (res > 0) { jf[s0] += 2; sharp[s0] = 1; }
+                    if (s1 >= 2 * N + 2) {
+                        long sc = s1 - (N + 1);
+                        int r2 = kf[sc];
+                        if (r2 > 4) { jf[sc] += 1; sharp[sc] = 1; }
+                        sc += 1;
+                        {
+                            int r3 = kf[sc];
+                            if (r3 > 4) { jf[sc] += 1; sharp[sc] = 1; }
+                            if (r2 < -24 && !t) { jf[sc-1] -= 1; sharp[sc-1] = 1; }
+                            if (r3 < -24 && !t) { jf[sc] -= 1; sharp[sc] = 1; }
+                        }
+                    }
+                    e = 0; f = 0;
+                } else if (count < 0) {
+                    jf[s1] -= 1; sharp[s1] = 1;
+                    if (res < 0) { jf[s0] -= 2; sharp[s0] = 1; }
+                    if (s1 >= 2 * N + 2) {
+                        long sc = s1 - (N + 1);
+                        int r2 = kf[sc];
+                        if (r2 < -4) { jf[sc] -= 1; sharp[sc] = 1; }
+                        sc += 1;
+                        {
+                            int r3 = kf[sc];
+                            if (r3 < -4) { jf[sc] -= 1; sharp[sc] = 1; }
+                            if (r2 > 24 && !t) { jf[sc-1] += 1; sharp[sc-1] = 1; }
+                            if (r3 > 24 && !t) { jf[sc] += 1; sharp[sc] = 1; }
+                        }
+                    }
+                    e = 0; f = 0;
+                }
+                if (t == 1) { j += 1; t = 0; }
+                else if (t == 2) { j += 3; t = 0; }
+                j += 2;
+            } else {
+                e += 1;
+                if (!t) f += 1;
+                if (e == 2) { j -= 3; e = 0; t = 1; }
+                else if (t == 1) {
+                    j += 1; t = 0; e = 0;
+                    if (f == 4) {
+                        int c1 = kf[base + j + 1 - 5];
+                        int c2 = kf[base + j + 1 - 2];
+                        if ((c1 < 0 ? -c1 : c1) <= sharpn2
+                            || (c2 < 0 ? -c2 : c2) <= sharpn2) {
+                            j -= 5; t = 2;
+                        }
+                        f = 0;
+                    }
+                } else if (t == 2) { j += 3; t = 0; e = 0; f = 0; }
+                j += 2;
+            }
+        }
+    }
+}
+
+void nhw_pair_sharpen_low4(int16_t *jf, const int32_t *kf,
+                           const uint8_t *sharp, int sharpness, int sharpn2)
+{
+    int r;
+    for (r = 1; r < 511; r++) {
+        long base = (long)r * N;
+        long j = 1;
+        while (j < 510) {
+            long s0 = base + j, s1 = base + j + 1;
+            int res = kf[s0], count = kf[s1];
+            int ares = res < 0 ? -res : res;
+            int acount = count < 0 ? -count : count;
+
+            if (ares > 4000 || acount > 4000) { j += 2; continue; }
+
+            if (ares > sharpness && ares <= sharpness + 20
+                && acount > sharpness && acount <= sharpness + 20) {
+                if (sharp[s0] != 1 && sharp[s1] != 1) {
+                    if (res > 0 && count > 0) {
+                        if (res >= count) {
+                            if (sharp[s0] != 2) jf[s0] += 1;
+                            else if (sharp[s1] != 2) jf[s1] += 1;
+                        } else {
+                            if (sharp[s1] != 2) jf[s1] += 1;
+                            else if (sharp[s0] != 2) jf[s0] += 1;
+                        }
+                    } else if (res < 0 && count < 0) {
+                        if (res <= count) {
+                            if (sharp[s0] != 3) jf[s0] -= 1;
+                            else if (sharp[s1] != 3) jf[s1] -= 1;
+                        } else {
+                            if (sharp[s1] != 3) jf[s1] -= 1;
+                            else if (sharp[s0] != 3) jf[s0] -= 1;
+                        }
+                    } else if (j < 507) {
+                        int k1 = kf[s1 + 1];
+                        int ak1 = k1 < 0 ? -k1 : k1;
+                        if (ak1 > sharpness && ak1 <= sharpness + 20) {
+                            if ((count > 0 && k1 > 0)
+                                || (count < 0 && k1 < 0)) j -= 1;
+                        }
+                    }
+                } else if (j < 507) {
+                    int k1 = kf[s1 + 1];
+                    int ak1 = k1 < 0 ? -k1 : k1;
+                    if (ak1 > sharpness && ak1 <= sharpness + 20) {
+                        if ((count > 0 && k1 > 0)
+                            || (count < 0 && k1 < 0)) j -= 1;
+                    }
+                }
+            } else if (ares > sharpness + 56 && acount > sharpness + 56) {
+                if (!sharp[s0] && !sharp[s1]) {
+                    if (res > 0 && count < 0) { jf[s0] += 1; jf[s1] -= 1; }
+                    else if (res < 0 && count > 0) { jf[s0] -= 1; jf[s1] += 1; }
+                    else if (ares > sharpness + 96 && acount > sharpness + 96) {
+                        if (res > 0 && count > 0) {
+                            if (res > count) jf[s0] += 1; else jf[s1] += 1;
+                        } else if (res < 0 && count < 0) {
+                            if (res < count) jf[s0] -= 1; else jf[s1] -= 1;
+                        }
+                    }
+                }
+            } else if (ares > sharpness + 160 && acount > sharpn2
+                       && acount <= sharpn2 + 20) {
+                if (!sharp[s0] && !sharp[s1]) {
+                    if (res > 0 && count > 0) jf[s1] -= 1;
+                    else if (res < 0 && count < 0) jf[s1] += 1;
+                    else if (j < 505) {
+                        int k1 = kf[s1+1], k2 = kf[s1+2];
+                        int ak1 = k1 < 0 ? -k1 : k1;
+                        int ak2 = k2 < 0 ? -k2 : k2;
+                        if (ak1 > sharpness + 160 && ak2 <= sharpn2) j -= 1;
+                    }
+                } else if (j < 505) {
+                    int k1 = kf[s1+1], k2 = kf[s1+2];
+                    int ak1 = k1 < 0 ? -k1 : k1;
+                    int ak2 = k2 < 0 ? -k2 : k2;
+                    if (ak1 > sharpness + 160 && ak2 > sharpn2 + 20) j -= 1;
+                }
+            } else if (acount > sharpness + 160 && ares > sharpn2
+                       && ares <= sharpn2 + 20) {
+                if (!sharp[s0] && !sharp[s1]) {
+                    if (res > 0 && count > 0) jf[s0] -= 1;
+                    else if (res < 0 && count < 0) jf[s0] += 1;
+                    else if (j < 507) {
+                        int k1 = kf[s1+1];
+                        int ak1 = k1 < 0 ? -k1 : k1;
+                        if (ak1 > sharpn2 && ak1 <= sharpn2 + 20) j -= 1;
+                    }
+                } else j -= 1;
+            } else j -= 1;
+            j += 2;
+        }
+    }
+}
+
+/* the q<=LOW4 t1..t44 pair-walk automaton (ops/prefilter._pair_walk_low) */
+
+static int iabs(int v) { return v < 0 ? -v : v; }
+
+void nhw_pair_walk_low(int16_t *jf, const int16_t *pf, int32_t *kf,
+                       uint8_t *sharp_on, int low_on, int ladder_on,
+                       int sharpness, int sharpn2, int n1)
+{
+    int a = 0;
+    int t1=0,t2=0,t3=0,t4=0,t5=0,t6=8,t7=0,t8=0,t9=0,t10=10,t11=15;
+    int t12=0,t13=0,t14=0,t15=0,t16=0,t17=0,t18=8,t19=0,t20=0;
+    int t21=0,t22=0,t23=0,t24=0,t25=0,t26=0,t27=0,t28=0,t29=0;
+    int t30=0,t31=0,t32=0,t33=0,t34=0,t35=0,t36=0,t37=0,t38=0;
+    int t39=0,t40=0,t41=0,t42=0,t43=0,t44=2;
+    int w1=0,w2=0,w3=20,w4=0,w5=0,w6=0,w7=0,w8=0;
+    int r;
+
+    for (r = 1; r < 511; r++) {
+        long base = (long)r * N;
+        long i_flat = base;
+        long j = 1;
+        while (j < 510) {
+            long s0 = base + j, s1 = base + j + 1;
+            int res = kf[s0], count = kf[s1];
+
+            if (low_on) {
+                if (iabs(res) > 4 && iabs(res) < n1) {
+                    long sc = s0;
+                    if (iabs(pf[sc-N]-pf[sc-1]) < 4
+                        && iabs(pf[sc-1]-pf[sc+N]) < 4
+                        && iabs(pf[sc+N]-pf[sc+1]) < 4
+                        && iabs(pf[sc+1]-pf[sc-N]) < 4) {
+                        jf[sc] = (int16_t)(((pf[sc] << 2) + pf[sc-1]
+                                  + pf[sc+1] + pf[sc-N] + pf[sc+N] + 4)
+                                 >> 3);
+                    }
+                }
+                if (iabs(count) > 4 && iabs(count) < n1) {
+                    long sc = s1;
+                    if (iabs(pf[sc-N]-pf[sc-1]) < 4
+                        && iabs(pf[sc-1]-pf[sc+N]) < 4
+                        && iabs(pf[sc+N]-pf[sc+1]) < 4
+                        && iabs(pf[sc+1]-pf[sc-N]) < 4) {
+                        jf[sc] = (int16_t)(((pf[sc] << 2) + pf[sc-1]
+                                  + pf[sc+1] + pf[sc-N] + pf[sc+N] + 4)
+                                 >> 3);
+                    }
+                }
+            }
+
+            if (!t1) {
+                t2 = 0;
+                if (iabs(res) > sharpness) {
+                    if (res > 0) jf[s0] += 2; else jf[s0] -= 2;
+                    if (iabs(count) > sharpn2 || t8 == 1) {
+                        kf[s0] = 0;
+                        if ((t19 < 4*SZ || (t20 >= 3 && t20 < 4*SZ))
+                            && iabs(res) > sharpness + 96 && t6 > 0
+                            && i_flat > 2 * N) {
+                            if (t20 >= 3 && t19 >= 8*SZ) {
+                                t6 = 7000000; t20 = 8*SZ;
+                            }
+                            if (t19 > 0 && t19 < 4*SZ) {
+                                if (t20 > 2 || (t20 == 2 && t6 > 3 && !t23)
+                                    || (t20 == 2 && t6 > 14 && t23 > 0)) {
+                                    if (t23 == 1) t6 = 5000000;
+                                    t23 += 1;
+                                    t21 += 1;
+                                    if (t21 >= 2) t19 = 8*SZ;
+                                }
+                            }
+                            if (!t19) { t6 += 1; t20 = 1; }
+                            t19 += 1;
+                        }
+                    }
+                    t2 = 1;
+                }
+                if (iabs(count) > sharpness) {
+                    if ((t2 == 1 || t12 == 1)
+                        && (!t14 || t14 == 4 || t14 == 5)) {
+                        if (!t3 && t2 == 1) {
+                            if (iabs(res) > 3000)
+                                res = res > 0 ? sharpn2 + 5 : -sharpn2 - 5;
+                            if (iabs(count) > 3000)
+                                count = count > 0 ? sharpn2 + 22
+                                                  : -sharpn2 - 22;
+                            if (iabs(res) < (iabs(count) >> 2)) {
+                                if (res > 0) jf[s0] -= 1; else jf[s0] += 1;
+                                kf[s0] = res;
+                                if (count > 0) jf[s1] += 2;
+                                else jf[s1] -= 2;
+                                if (iabs(res) > sharpn2) kf[s1] = 0;
+                            } else {
+                                if (count > 0) jf[s1] += 1;
+                                else jf[s1] -= 1;
+                            }
+                            t3 = 1;
+                        } else {
+                            if (count > 0) jf[s1] += 2; else jf[s1] -= 2;
+                            if (iabs(res) > sharpn2) kf[s1] = 0;
+                            if (t3 == 1) t3 = 2;
+                            else if (t3 == 2) t3 = 3;
+                            else t3 = 0;
+                        }
+                    } else {
+                        if (count > 0) jf[s1] += 2; else jf[s1] -= 2;
+                        if (iabs(res) > sharpn2) kf[s1] = 0;
+                    }
+                    if (t14 == 2) {
+                        t14 = 1; t26 = 3;
+                        if (t25 > 0) t25 += 1;
+                    }
+                    if (t14 == 1) {
+                        if (t26 < 4) t26 += 1;
+                        else { t14 = 2; t26 = 0; }
+                    }
+                }
+                if (iabs(res) > sharpness || iabs(count) > sharpness)
+                    t13 = 1;
+                if (t14 == 1 || t14 == 2) t27 += 1; else t27 = 0;
+                if (t27 > 2) t14 = 1;
+                if (t14 == 1) {
+                    t14 = 4;
+                    if (!t25) { t15 += 1; t25 = 1; }
+                    else { t25 += 1; if (t25 > 3) t25 = 0; }
+                }
+                t1 = 1;
+            } else {
+                if (iabs(res) > sharpness) {
+                    if (res > 0) jf[s0] += 1; else jf[s0] -= 1;
+                    t1 += 1; t4 += 1;
+                }
+                if (iabs(count) > sharpness) {
+                    if (count > 0) jf[s1] += 1; else jf[s1] -= 1;
+                    t1 += 1; t4 += 1;
+                }
+
+                if (t4 < 10) {
+                    t17 = (t4 == t10 && t1 == t11) ? 1 : 0;
+                } else {
+                    if (t4 > 10 || t1 != 15) {
+                        if (!t18) { t17 = 1; t18 = 1; }
+                        else {
+                            t17 = 0; t18 += 1;
+                            if (t18 > 15) t18 = 0;
+                        }
+                    } else if (t4 == t10 && t1 == t11) t17 = 1;
+                    else t17 = 0;
+                }
+
+                if (t6 > 6000000) { t6 = 0; t22 = 0; }
+                else if (t6 > 4000000) {
+                    t6 = 0; t22 = (t21 == 1) ? 1 : 0;
+                }
+
+                if (t17 == 1 || t1 > 2000003) {
+                    if (!t6) {
+                        t6 = 1; t14 = 0;
+                        if (!t22) t7 += 1;
+                        if (t22 == 1) t22 = 0;
+                    } else {
+                        t6 += 1; t1 += 1;
+                        if (t4 > 900000 && t1 == 12) t4 = 8;
+                        if (t1 > 3000000) { t1 = 12; t4 = 8; }
+                        else if (t1 > 2000006 && t1 < 2500000) {
+                            t1 = 14; t4 = 10;
+                        }
+                        if (!t15) { t14 = 1; t15 = 1; }
+                        else {
+                            t14 = 0; t15 += 1;
+                            if (t15 > 9) t15 = 0;
+                        }
+                        if (t6 > 15 && t7 < 4) {
+                            t6 = 0;
+                            if (t19 > 0) t20 += 1;
+                        }
+                    }
+                    if (t4 == 8 || (t4 == 10 && w3 > 16)) {
+                        if (w3 < 21) { t4 = 0; w3 += 1; }
+                        else if (t4 == 8) w3 = 0;
+                        else {
+                            if (w4 < 2) { t4 = 8; t1 = 12; w4 += 1; }
+                            else { t4 = 0; w4 = 0; }
+                        }
+                    } else t4 = 0;
+                    t8 = 0; t5 = 0; t12 = 0;
+                    if (t7 == 3) {
+                        if (!t6) { t10 = 10; t11 = 15; }
+                        else { t10 = 8; t11 = 12; }
+                    } else if (t7 == 1) {
+                        if (t9 < 2) { t10 = 10; t11 = 15; t9 += 1; }
+                        else {
+                            t10 = 8; t11 = 12; t9 += 1;
+                            if (t9 >= 3) t9 = 0;
+                        }
+                    } else if (t7 == 2) { t10 = 8; t11 = 12; }
+                    else {
+                        if ((t6 == 10 || t6 == 11) && !t7) {
+                            t10 = 6; t11 = 9;
+                        } else if (t7 >= 4) {
+                            if (!t16) {
+                                t10 = 10; t11 = 15; t16 = 1;
+                                if ((w7 == 2 || w7 == 4) && t24 == 14) {
+                                    if (w7 == 2) t1 = 2000005;
+                                } else { t4 = 1000000; t1 = 9; }
+                            } else if (t16 == 1) {
+                                t10 = 8; t11 = 12; t16 = 2; w5 += 1;
+                                if (w5 != 3) { t4 = 10; t1 += 2; }
+                                else if (t1 > 0 && t1 < 30)
+                                    t1 = (-t1) >> 2;
+                                else { t4 = 10; t1 += 2; }
+                            } else if (t16 == 2) {
+                                t10 = 10; t11 = 15; t16 = 3;
+                                t4 = 1000000; w6 += 1;
+                                if (w6 == 6 || w6 == 10) t1 = 10;
+                            } else if (t16 == 3) {
+                                t10 = 8; t11 = 12; t16 = 4; t4 = 8;
+                                t1 -= 4;
+                            } else if (t16 == 4) {
+                                t10 = 10; t11 = 15; t16 = 5;
+                            } else if (t16 == 5) {
+                                t10 = 10; t11 = 15; t16 = 6; t4 = 10;
+                                t1 = 2000000;
+                            } else if (t16 == 6) {
+                                t10 = 8; t11 = 12; t16 = 7; t4 = 8;
+                                t1 = 3000000;
+                            } else if (t16 == 7) {
+                                t10 = 8; t11 = 12; t16 = 8; t4 = 1000000;
+                            } else if (t16 == 8) {
+                                t10 = 8; t11 = 12;
+                                switch (t24) {
+                                case 0: t16 = 1; t24 = 1; t4 = 1000000;
+                                        break;
+                                case 1: t16 = 2; t24 = 2; break;
+                                case 2: t16 = 1; t24 = 3; t4 = 1000000;
+                                        break;
+                                case 3: t16 = 2; t24 = 4; break;
+                                case 4: t16 = 1; t24 = 5; t1 = 2999998;
+                                        break;
+                                case 5: t16 = 0; t24 = 6; break;
+                                case 6: t16 = 3; t24 = 7; break;
+                                case 7: t16 = 3; t24 = 8; t1 = 7; break;
+                                case 8: t16 = 1; t24 = 9; break;
+                                case 9: t16 = 8; t24 = 10; t4 = 1000000;
+                                        break;
+                                case 10: t16 = 1; t24 = 11; t4 = 8;
+                                         t1 = 11; break;
+                                case 11: t16 = 0; t24 = 12; break;
+                                case 12: t16 = 1; t24 = 13; break;
+                                case 13: t16 = 0; t24 = 14; break;
+                                case 14:
+                                    t16 = 1; t24 = 15; w7 += 1;
+                                    if (w2 == 0) t1 = 1999978;
+                                    else if (w2 == 1) t1 = 1999982;
+                                    else t1 = 1999993;
+                                    break;
+                                case 15:
+                                    t16 = 0; t24 = 12;
+                                    if (w2 == 1 || w2 == 3) t1 = -5;
+                                    else t1 = 2000005;
+                                    w2 += 1;
+                                    break;
+                                }
+                            }
+                        } else {
+                            t10 = (t10 == 8) ? 10 : 8;
+                            t11 = (t11 == 12) ? 15 : 12;
+                        }
+                    }
+                } else if (t1 >= 15) {
+                    if (!t4) t8 += 1;
+                    else { t8 = 0; t5 = 0; t12 = 0; }
+                    t1 += 1;
+                    if (t4 < 2 && t29 > 0 && t14 == 4) {
+                        if (!t31) { t14 = 3; t31 += 1; }
+                        else if (t31 == 1) { t14 = 3; t31 += 1; }
+                        else if (t31 == 2) {
+                            t14 = 0; t15 = 0; t31 += 1;
+                        }
+                    }
+                    if (t14 == 5 && !t35 && t32 > 4 && t32 < 8) {
+                        t14 = 1; t32 -= 1; t35 += 1;
+                    }
+                } else {
+                    if (t1 == 6 && !w8) {
+                        t1 += 1; w8 += 1; t44 = -100000;
+                    } else if (t44 < -90000) {
+                        t1 += 1; w8 += 1; t44 = 0;
+                    } else {
+                        if (t44 < 3) t44 += 1;
+                        else { t1 += 3; t44 = 0; }
+                    }
+
+                    if (t29 > 0 && (t14 == 4 || t14 == 5 || t39 == 2
+                                    || t41 > 0)) {
+                        if (t4 < 2 && t1 == 15
+                            && (t14 == 4 || (t14 == 5 && t32 > 2))) {
+                            if (t32 == 0 || t32 == 2 || t32 == 3
+                                || (t32 > 7 && t32 < 500000)) {
+                                if (t32 > 7 && t14 == 5) {
+                                    t14 = 1; t32 = 1000000;
+                                } else {
+                                    if (!t34) t34 = 1;
+                                    else { t14 = 5; t34 = 0; }
+                                }
+                            }
+                            if (!t32) t14 = 5;
+                            t32 += 1;
+                        } else if (t32 == 4 || t32 == 5 || t32 == 7) {
+                            if (t37 == 4) t14 = 3;
+                            else if (t37 == 15) { t14 = 3; t32 += 1; }
+                            else if (t32 == 7) {
+                                if (t37 > -345000) {
+                                    if (t14 == 4) {
+                                        if (!t42) t37 -= 10000;
+                                        if (t38 > 0) {
+                                            t42 += 1;
+                                            if (t42 > 0
+                                                || (!t42 && t43 > 3)) {
+                                                if (!t42) {
+                                                    if (t43 == 14) t14 = 3;
+                                                    else if (t43 == 24)
+                                                        t14 = 4;
+                                                    else t14 = 1;
+                                                } else t14 = 1;
+                                                t39 = 0;
+                                                if (t42 > 5) {
+                                                    t42 = -1; t43 += 1;
+                                                }
+                                            } else if (t42 == -1) {
+                                                t14 = 3; t39 = 2;
+                                                t40 = -2; t42 = 0;
+                                            } else t39 = 0;
+                                        } else {
+                                            t14 = 5; t39 = 1; t42 = 0;
+                                        }
+                                    } else if (t39 >= 1) {
+                                        t38 += 1;
+                                        if (t39 < 2) {
+                                            if (t38 == 2 || t38 == 4
+                                                || t38 == 6 || t38 == 9)
+                                                t39 = 2;
+                                            else t39 = 0;
+                                        } else {
+                                            t40 += 1;
+                                            if (t38 == 8) {
+                                                t39 = 0; t40 = 0;
+                                            }
+                                            if (t40 > 2) {
+                                                t40 = 0; t39 = 0;
+                                            }
+                                        }
+                                        if (t38 >= 1 && t38 <= 10)
+                                            t14 = 4;
+                                    } else {
+                                        t40 = 1;
+                                        if (t38 == 1) t39 = 2;
+                                    }
+                                }
+                            }
+                            if (t37 >= 0) t37 += 1;
+                        } else if (t32 == 6 && t36 < 118) {
+                            if (t14 == 4 || t14 == 5 || t41 == 0
+                                || t41 > 3) t36 += 1;
+                            if (t41 > 3 && t36 < 8) t41 = 0;
+                            switch (t36) {
+                            case 1: t14 = 1; t41 = 0; break;
+                            case 2: t14 = 2; t41 = 0; break;
+                            case 3: t14 = 1; t41 = 0; break;
+                            case 4: t14 = 3; t41 = 0; break;
+                            case 5: t14 = 3; t41 += 1; break;
+                            case 6: t14 = 0; t41 = 0; break;
+                            case 7: t14 = 2; t41 = 0; break;
+                            case 8: t14 = 2; t41 = 4; break;
+                            case 15: t14 = 1; t41 = 0; break;
+                            case 31: t14 = 3; t41 += 1; break;
+                            case 47: t14 = 2; t41 = 0; break;
+                            case 100: t14 = 0; t41 += 1; break;
+                            case 116: t14 = 2; t41 = 0; break;
+                            }
+                        }
+
+                        if (t28 < 14 && t1 > 7) {
+                            if (t14 == 5 && !t28 && !t33 && t1 > 13
+                                && t31 > 0) {
+                                t30 = 1; t33 = t30 + 1;
+                            } else t30 += 1;
+                            if (!t28 && t30 > t33 + 10 && t33 > 0
+                                && t14 == 4) {
+                                t14 = 3; t15 += 6; t28 += 1;
+                            } else if (t28 == 1 && t30 > t33 + 70
+                                       && t14 == 4 && t1 == 11) {
+                                t15 = 1; t1 = 13; t28 += 1;
+                            } else if (t28 == 2 && t31 > 2 && t1 == 15
+                                       && t15 > 1) {
+                                t15 = 15; t33 = t30; t1 = 6; t28 += 1;
+                            } else if (t28 == 3 && t30 > t33 + 3
+                                       && t31 > 2) {
+                                t15 = 0; t28 += 1;
+                            } else if (t28 == 5 && t30 > t33 + 22
+                                       && t31 > 2 && t1 == 12) {
+                                t15 = 3; t1 = 9; t28 += 1;
+                            } else if (t28 == 4 && t30 > t33 + 6
+                                       && t1 == 15) {
+                                t14 = 1; t15 += 6; t1 += 1; t28 += 1;
+                            } else if (t28 == 6 && t30 > t33 + 54) {
+                                t14 = 2; t15 = 3; t1 = 3; t28 += 1;
+                            } else if (t28 == 7 && t30 > t33 + 57) {
+                                t14 = 2; t15 = 8; t1 = 8; t28 += 1;
+                            } else if (t28 == 8 && t30 > t33 + 84) {
+                                t14 = 2; t15 = 7; t1 = 7; t28 += 1;
+                            } else if (t28 == 9 && t30 > t33 + 111) {
+                                t14 = 2; t15 = 3; t1 = 7; t28 += 1;
+                            } else if (t28 == 10 && t30 > t33 + 116) {
+                                t14 = 1; t15 = 0; t1 = 1; t4 = 8;
+                                t28 += 1;
+                            } else if (t28 == 11 && t30 > t33 + 185) {
+                                t14 = 0; t15 = 4; t1 = -17; t28 += 1;
+                            } else if (t28 == 12 && t30 > t33 + 187) {
+                                t14 = 3; t15 = 3; t1 = -19; t28 += 1;
+                            } else if (t30 == t33 + 9) {
+                                t1 += (12 - t4) >> 2;
+                                t4 = 10;
+                            } else if (t28 > 0 && t1 == 15 && w1 < 11) {
+                                if (t4 != 10) {
+                                    if (w1 == 4 || w1 == 10) t4 = 10;
+                                    w1 += 1;
+                                }
+                            } else if (t28 == 13 && t30 > t33 + 188) {
+                                t14 = 0; t15 = 3; t1 = -30; t28 += 1;
+                            }
+                        }
+                    }
+                }
+
+                if (t8 > 6 && !t4 && t1 > 1 && t1 < 15) {
+                    t5 += 1;
+                    if (t5 < 35) {
+                        t1 = 0;
+                        if (!t13) { t12 = 1; t13 = 1; }
+                        else {
+                            t12 = 0; t13 += 1;
+                            if (t13 > 3) t13 = 0;
+                        }
+                    } else t12 = 0;
+                }
+                if (t1 > 15 && t1 < 1000000) {
+                    t1 = 0; t4 = 0; t29 += 1;
+                }
+            }
+
+            if (iabs(res) > sharpness && iabs(res) <= sharpness + 20
+                && iabs(count) > sharpness
+                && iabs(count) <= sharpness + 20) {
+                if (res > 0 && count < 0) {
+                    jf[s0] += 1; jf[s1] -= 1;
+                    sharp_on[s0] = 2; sharp_on[s1] = 3;
+                } else if (res < 0 && count > 0) {
+                    jf[s0] -= 1; jf[s1] += 1;
+                    sharp_on[s0] = 3; sharp_on[s1] = 2;
+                }
+            }
+
+            if (ladder_on) {
+                if (res > 10 && res < 32) {
+                    if (iabs(count) >= 23) {
+                        if (res < 16) {
+                            if (count > 0 && count < 32 && res > 11)
+                                jf[s1] += 1;
+                            jf[s0] += 1;
+                            a = 0; j += 2; continue;
+                        } else {
+                            jf[s0] += a ? 1 : 2;
+                            a = 0; j += 2; continue;
+                        }
+                    }
+                } else if (res > -32 && res < -10) {
+                    if (iabs(count) >= 23) {
+                        if (res > -16) {
+                            if (count > -32 && count < 0 && res < -11)
+                                jf[s1] -= 1;
+                            jf[s0] -= 1;
+                            a = 0; j += 2; continue;
+                        } else {
+                            jf[s0] -= a ? 1 : 2;
+                            a = 0; j += 2; continue;
+                        }
+                    }
+                }
+                a = 0;
+                if (count > 10 && count < 32) {
+                    if (iabs(res) >= 23) {
+                        if (count < 16) {
+                            if (res > 0 && res < 32 && count > 11)
+                                jf[s0] += 1;
+                            jf[s1] += 1;
+                        } else { jf[s1] += 2; a = 1; }
+                    }
+                } else if (count > -32 && count < -10) {
+                    if (iabs(res) >= 23) {
+                        if (count > -16) {
+                            if (res > -32 && res < 0 && count < -11)
+                                jf[s0] -= 1;
+                            jf[s1] -= 1;
+                        } else { jf[s1] -= 2; a = 1; }
+                    }
+                }
+            }
+            j += 2;
+        }
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* q<LOW7 LL2 window ladders (models/encoder._very_low_q_cleanup) and
+ * q<LOW6 band dead-zoning (_lowest_q_band_cleanup)                    */
+
+static void vlq_zero_bands(int16_t *pf, long cnt, int x5, int x6, int e34)
+{
+    long c2 = cnt << 1;
+    long e = 2 * SZ + D;
+    int thr = e34 ? 34 : x5;
+    if (iabs(pf[c2 + D]) < x6) pf[c2 + D] = 0;
+    if (iabs(pf[c2 + D + 1]) < x6) pf[c2 + D + 1] = 0;
+    if (iabs(pf[c2 + 3*D]) < x6) pf[c2 + 3*D] = 0;
+    if (iabs(pf[c2 + 3*D + 1]) < x6) pf[c2 + 3*D + 1] = 0;
+    if (iabs(pf[c2 + 2*SZ]) < x6 + 6) pf[c2 + 2*SZ] = 0;
+    if (iabs(pf[c2 + 2*SZ + 1]) < x6 + 6) pf[c2 + 2*SZ + 1] = 0;
+    if (iabs(pf[c2 + 2*SZ + N]) < x6 + 6) pf[c2 + 2*SZ + N] = 0;
+    if (iabs(pf[c2 + 2*SZ + N + 1]) < x6 + 6) pf[c2 + 2*SZ + N + 1] = 0;
+    if (iabs(pf[c2 + e]) < thr) pf[c2 + e] = 0;
+    if (iabs(pf[c2 + e + 1]) < thr) pf[c2 + e + 1] = 0;
+    if (iabs(pf[c2 + e + N]) < thr) pf[c2 + e + N] = 0;
+    if (iabs(pf[c2 + e + N + 1]) < thr) pf[c2 + e + N + 1] = 0;
+}
+
+static void vlq_zero_l2(int16_t *pf, long cnt)
+{
+    if (iabs(pf[cnt + 128]) < 11) pf[cnt + 128] = 0;
+    if (iabs(pf[cnt + SZ]) < 12) pf[cnt + SZ] = 0;
+    if (iabs(pf[cnt + SZ + 128]) < 13) pf[cnt + SZ + 128] = 0;
+}
+
+void nhw_very_low_q_cleanup(int16_t *pf, int low9,
+                            int x1, int x2, int x3, int x4, int x5,
+                            int x6, int x7)
+{
+    long carry = 0;
+    int r, j;
+    (void)x1;
+
+    /* pass 1: 4-px horizontal windows in LL2 rows */
+    for (r = 0; r < 128; r++) {
+        long base = (long)r * N;
+        for (j = 0; j < 124; j++) {
+            long scan = base + j;
+            int p0 = pf[scan], p1 = pf[scan+1], p2 = pf[scan+2];
+            int p3 = pf[scan+3], p4 = pf[scan+4];
+            if (iabs(p4-p0) < x1 && iabs(p4-p3) < x1 && iabs(p1-p0) < x1
+                && iabs(p3-p1) < x1 && iabs(p3-p2) < x2 - 2) {
+                long c;
+                if (p3 - p1 > 5 && p2 - p3 >= 0) pf[scan+2] = p3;
+                else if (p1 - p3 > 5 && p2 - p3 <= 0) pf[scan+2] = p3;
+                else if (p1 - p3 > 5 && p2 - p1 >= 0) pf[scan+2] = p1;
+                else if (p3 - p1 > 5 && p2 - p1 <= 0) pf[scan+2] = p1;
+                else if (p3 - p2 > 0 && p2 - p1 > 0) {}
+                else if (p1 - p2 > 0 && p2 - p3 > 0) {}
+                else pf[scan+2] = (int16_t)((p3 + p1) >> 1);
+                for (c = 1; c < 4; c++)
+                    vlq_zero_bands(pf, scan + c, x5, x6, 0);
+                carry = 4;
+                if (low9)
+                    for (c = 1; c < 4; c++) vlq_zero_l2(pf, scan + c);
+            } else if (iabs(p4-p0) < x2 + 1 && iabs(p4-p3) < x2 + 1
+                       && iabs(p1-p0) < x2 + 1) {
+                if (iabs(p3-p1) < x2 + 6 && iabs(p3-p2) < x2 + 6) {
+                    if ((p3 - p2 >= 0 && p2 - p1 >= 0)
+                        || (p3 - p2 <= 0 && p2 - p1 <= 0)) {
+                        long c;
+                        for (c = 1; c < 4; c++)
+                            vlq_zero_bands(pf, scan + c, x5, x6, 0);
+                        carry = 4;
+                        if (low9)
+                            for (c = 1; c < 4; c++)
+                                vlq_zero_l2(pf, scan + c);
+                    }
+                }
+            }
+        }
+    }
+
+    /* pass 2: vertical cross windows */
+    for (r = 0; r < 126; r++) {
+        long base = (long)r * N;
+        for (j = 0; j < 126; j++) {
+            long scan = base + j;
+            if (iabs(pf[scan+1] - pf[scan + 4*D + 1]) < x3
+                && iabs(pf[scan + 2*D] - pf[scan + 2*D + 2]) < x3) {
+                if (iabs(pf[scan + 2*D + 1] - pf[scan + 2*D]) < x4 - 1
+                    && iabs(pf[scan+1] - pf[scan + 2*D + 1]) < x4) {
+                    int e = (pf[scan+1] + pf[scan + 4*D + 1]
+                             + pf[scan + 2*D] + pf[scan + 2*D + 2] + 2)
+                            >> 2;
+                    if (iabs(e - pf[scan + 2*D]) < 5
+                        || iabs(e - pf[scan + 2*D + 2]) < 5)
+                        pf[scan + 2*D + 1] = (int16_t)e;
+                    carry = scan + 2*D + 1;
+                    vlq_zero_bands(pf, carry, 32, x6, 0);
+                    if (low9) {
+                        long e2;
+                        for (e2 = 0; e2 < 3; e2++)
+                            vlq_zero_l2(pf, carry + e2 - 1);
+                    }
+                }
+            }
+        }
+    }
+
+    /* pass 3: second cross variant (stale carry semantics) */
+    for (r = 0; r < 126; r++) {
+        long base = (long)r * N;
+        for (j = 0; j < 126; j++) {
+            long scan = base + j;
+            if (iabs(pf[scan+2] - pf[scan+1]) < x3
+                && iabs(pf[scan+1] - pf[scan]) < x3) {
+                if (iabs(pf[scan] - pf[scan + 2*D]) < x3
+                    && iabs(pf[scan+2] - pf[scan + 2*D + 2]) < x3) {
+                    if (iabs(pf[scan + 4*D + 1] - pf[scan + 2*D]) < x3
+                        && iabs(pf[scan + 2*D] - pf[scan + 2*D + 1])
+                           < x4) {
+                        int e = (pf[scan+1] + pf[scan + 4*D + 1]
+                                 + pf[scan + 2*D] + pf[scan + 2*D + 2]
+                                 + 1) >> 2;
+                        if (iabs(e - pf[scan + 2*D]) < 5
+                            || iabs(e - pf[scan + 2*D + 2]) < 5)
+                            pf[scan + 2*D + 1] = (int16_t)e;
+                        carry = scan + 2*D + 1;
+                        vlq_zero_bands(pf, carry, 32, x6, 0);
+                    }
+                    if (low9) {
+                        long e2;
+                        for (e2 = 0; e2 < 3; e2++)
+                            vlq_zero_l2(pf, carry + e2 - 1);
+                    }
+                }
+            }
+        }
+    }
+
+    /* pass 4: low9 3-px flats */
+    if (low9) {
+        for (r = 0; r < 128; r++) {
+            long base = (long)r * N;
+            for (j = 0; j < 126; j++) {
+                long scan = base + j;
+                if (iabs(pf[scan+2] - pf[scan+1]) < x7
+                    && iabs(pf[scan+2] - pf[scan]) < x7
+                    && iabs(pf[scan+1] - pf[scan]) < x7) {
+                    long cnt = scan + 1;
+                    vlq_zero_bands(pf, cnt, 34, x6, 1);
+                    vlq_zero_l2(pf, cnt);
+                }
+            }
+        }
+    }
+}
+
+void nhw_lowest_q_band_cleanup(int16_t *pf, const int16_t *r3pad,
+                               int ratio, int gt_low10,
+                               int x1, int x2, int x3, int x4, int x5)
+{
+    int r, j;
+    for (r = 0; r < D; r++) {
+        long base = (long)r * N;
+        long i = base;
+        for (j = D; j < 2 * D; j++) {
+            long scan = base + j;
+            int v = pf[scan];
+            if (iabs(v) >= ratio && iabs(v) < x3 + 2) {
+                if (iabs(r3pad[(((i >> 1) + (j - D)) >> 1) + 128]) < x4)
+                    pf[scan] = 0;
+                else if (iabs(v + pf[scan-1]) < x5
+                         && iabs(pf[scan+1]) < x5) {
+                    pf[scan] = 0; pf[scan-1] = 0;
+                } else if (iabs(v + pf[scan+1]) < x5
+                           && iabs(pf[scan-1]) < x5) {
+                    pf[scan] = 0; pf[scan+1] = 0;
+                }
+            }
+            v = pf[scan];
+            if (iabs(v) >= ratio && iabs(v) < x3) {
+                if (iabs(pf[scan-1]) < ratio && iabs(pf[scan+1]) < ratio)
+                    pf[scan] = 0;
+            }
+        }
+    }
+    for (r = D; r < 2 * D; r++) {
+        long base = (long)r * N;
+        long i = base - 2 * SZ;
+        for (j = 0; j < D; j++) {
+            long scan = base + j;
+            int v = pf[scan];
+            if (iabs(v) >= ratio && iabs(v) < x1 + 2) {
+                if (iabs(r3pad[(((i >> 1) + j) >> 1) + (SZ >> 1)]) < x4)
+                    pf[scan] = 0;
+                else if (iabs(v + pf[scan-1]) < x5
+                         && iabs(pf[scan+1]) < x5) {
+                    pf[scan] = 0; pf[scan-1] = 0;
+                } else if (iabs(v + pf[scan+1]) < x5
+                           && iabs(pf[scan-1]) < x5) {
+                    pf[scan] = 0; pf[scan+1] = 0;
+                }
+            }
+            v = pf[scan];
+            if (iabs(v) >= ratio && iabs(v) < x1) {
+                if (iabs(pf[scan-1]) < ratio && iabs(pf[scan+1]) < ratio)
+                    pf[scan] = 0;
+                else if (iabs(v) < x1 - 4) pf[scan] = 0;
+            }
+        }
+        for (j = D; j < 2 * D - 1; j++) {
+            long scan = base + j;
+            int v = pf[scan];
+            if (iabs(v) >= ratio && iabs(v) < x2 + 1) {
+                if (iabs(r3pad[(((i >> 1) + (j - D)) >> 1)
+                               + (SZ >> 1) + 128]) < x4 + 1)
+                    pf[scan] = 0;
+                else if (iabs(v + pf[scan-1]) < x5
+                         && iabs(pf[scan+1]) < x5) {
+                    pf[scan] = 0; pf[scan-1] = 0;
+                } else if (iabs(v + pf[scan+1]) < x5
+                           && iabs(pf[scan-1]) < x5) {
+                    pf[scan] = 0; pf[scan+1] = 0;
+                }
+            }
+            v = pf[scan];
+            if (iabs(v) >= ratio && iabs(v) < x2) {
+                if (iabs(pf[scan-1]) < ratio && iabs(pf[scan+1]) < ratio) {
+                    if (gt_low10) {
+                        if (v >= 16) pf[scan] = 7;
+                        else if (v <= -16) pf[scan] = -7;
+                        else pf[scan] = 0;
+                    } else pf[scan] = 0;
+                } else if (iabs(v) < x2 - 5) {
+                    if (gt_low10) {
+                        if (v >= 16) pf[scan] = 7;
+                        else if (v <= -16) pf[scan] = -7;
+                        else pf[scan] = 0;
+                    } else pf[scan] = 0;
+                }
+            }
+        }
+    }
+}

@@ -1397,15 +1397,51 @@ def _pair_sharpen_low4(jf, kf, sharp_on, sharpness, sharpn2):
 def _pre_process_y_low(yplane: np.ndarray, quality: int) -> np.ndarray:
     """q<=LOW4 path: low-quality kernel, the t1..t44 pair walk and the two
     sharpening epilogue passes (encoder/image_processing.c:558-2423)."""
+    from nhwcodec_tpu import native
+
     sharpness = SHARPNESS.get(quality, 0)
     sharpn2 = 10 if sharpness < 10 else sharpness
     n1 = _n1_for(quality)
 
     jpeg = yplane.astype(np.int16).copy()
+    jf = jpeg.reshape(-1)
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        res_a, cnt_a = _gradient_sums(yplane)
+        rf = np.ascontiguousarray(res_a.reshape(-1), np.int32)
+        cf = np.ascontiguousarray(cnt_a.reshape(-1), np.int32)
+        kern = np.zeros(SZ4, np.int32)
+        lib.nhw_kernel_low4(ffi.cast("int32_t *", rf.ctypes.data),
+                            ffi.cast("int32_t *", cf.ctypes.data),
+                            ffi.cast("int32_t *", kern.ctypes.data),
+                            sharpness, sharpn2)
+        sharp = np.zeros(SZ4, np.uint8)
+        low_on = 1 if quality <= T.LOW6 else 0
+        ladder_on = 1 if (quality > T.LOW6
+                          or (quality <= T.LOW10
+                              and quality > T.LOW13)) else 0
+        pfa = np.ascontiguousarray(yplane.reshape(-1), np.int16)
+        lib.nhw_pair_walk_low(
+            ffi.cast("int16_t *", jf.ctypes.data),
+            ffi.cast("int16_t *", pfa.ctypes.data),
+            ffi.cast("int32_t *", kern.ctypes.data),
+            ffi.cast("uint8_t *", sharp.ctypes.data),
+            low_on, ladder_on, sharpness, sharpn2, n1)
+        lib.nhw_sentinel_pass_low4(
+            ffi.cast("int16_t *", jf.ctypes.data),
+            ffi.cast("int32_t *", kern.ctypes.data),
+            ffi.cast("uint8_t *", sharp.ctypes.data), sharpness, sharpn2)
+        lib.nhw_pair_sharpen_low4(
+            ffi.cast("int16_t *", jf.ctypes.data),
+            ffi.cast("int32_t *", kern.ctypes.data),
+            ffi.cast("uint8_t *", sharp.ctypes.data), sharpness, sharpn2)
+        return jpeg
+
     res_a, cnt_a = _gradient_sums(yplane)
     kf = _kernel_pass_low4(res_a, cnt_a, sharpness, sharpn2)
 
-    jf = jpeg.reshape(-1)
     pf = yplane.reshape(-1).tolist()  # nhw_process = unmodified copy
     sharp_on = [0] * SZ4
 
