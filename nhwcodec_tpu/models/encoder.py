@@ -722,6 +722,14 @@ def _lowest_q_band_cleanup(pf, resIII, q, ratio, tree1_y=None):
 def _pair_promotion(pf: np.ndarray, q: int) -> None:
     """Paired-code promotion to sentinels 10100-12900
     (encoder/nhw_encoder.c:970-1074)."""
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        lib.nhw_pair_promotion(ffi.cast("int16_t *", pf.ctypes.data))
+        return
+
     # HL band: rows 1..254, cols 257..510
     for r in range(1, 255):
         base = r * N
@@ -974,6 +982,14 @@ def _uv_sentinel_marking(process: np.ndarray, res256: np.ndarray,
 
 def _uv_ll_smooth(process: np.ndarray) -> None:
     """q<=LOW9 LL smoothing (encoder/nhw_encoder.c:2438-2477)."""
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        lib.nhw_uv_ll_smooth(ffi.cast("int16_t *", process.ctypes.data))
+        return
+
     pf = process.reshape(-1)
     thr3, thr4 = 5, 8
     for r in range(62):

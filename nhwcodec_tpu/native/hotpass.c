@@ -2224,3 +2224,144 @@ void nhw_lowest_q_band_cleanup(int16_t *pf, const int16_t *r3pad,
         }
     }
 }
+
+/* ------------------------------------------------------------------ */
+/* UV helpers (models/encoder.py): compare ladder, LL smoothing,
+ * sentinel marking; and the Y pair promotions                         */
+
+void nhw_uv_compare_ladder(int16_t *jf, const int16_t *pf,
+                           const int16_t *rf, int strict)
+{
+    int r, j;
+    for (r = 0; r < 128; r++) {
+        for (j = 0; j < 128; j++) {
+            long e = (long)r * D + j;
+            long cnt = (long)r * 128 + j;
+            int scan = pf[e] - rf[cnt];
+            int nxt = pf[e + 1] - (cnt + 1 < 16384 ? rf[cnt + 1] : 0);
+            int k;
+            if (scan > 10) k = -6;
+            else if (scan > 7) k = -3;
+            else if (scan > 4) k = -2;
+            else if (scan > 3) k = -1;
+            else if (scan > 2 && (strict ? nxt > 0 : nxt >= 0)) k = -1;
+            else if (scan < -10) k = 6;
+            else if (scan < -7) k = 3;
+            else if (scan < -4) k = 2;
+            else if (scan < -3) k = 1;
+            else if (scan < -2 && (strict ? nxt < 0 : nxt <= 0)) k = 1;
+            else k = 0;
+            jf[e] = (int16_t)(rf[cnt] + k);
+        }
+    }
+}
+
+void nhw_uv_ll_smooth(int16_t *pf)
+{
+    int r, j;
+    for (r = 0; r < 62; r++) {
+        for (j = 0; j < 62; j++) {
+            long scan = (long)r * D + j;
+            if (iabs(pf[scan+1] - pf[scan + 2*D + 1]) < 5
+                && iabs(pf[scan + D] - pf[scan + D + 2]) < 5) {
+                if (iabs(pf[scan + D + 1] - pf[scan + D]) < 7
+                    && iabs(pf[scan+1] - pf[scan + D + 1]) < 8) {
+                    pf[scan + D + 1] = (int16_t)((pf[scan+1]
+                        + pf[scan + 2*D + 1] + pf[scan + D]
+                        + pf[scan + D + 2] + 2) >> 2);
+                }
+            }
+        }
+    }
+    for (r = 0; r < 62; r++) {
+        for (j = 0; j < 62; j++) {
+            long scan = (long)r * D + j;
+            if (iabs(pf[scan+2] - pf[scan+1]) < 5
+                && iabs(pf[scan+1] - pf[scan]) < 5) {
+                if (iabs(pf[scan] - pf[scan + D]) < 5
+                    && iabs(pf[scan+2] - pf[scan + D + 2]) < 5) {
+                    if (iabs(pf[scan + 2*D + 1] - pf[scan + D]) < 5
+                        && iabs(pf[scan + D] - pf[scan + D + 1]) < 8) {
+                        pf[scan + D + 1] = (int16_t)((pf[scan+1]
+                            + pf[scan + 2*D + 1] + pf[scan + D]
+                            + pf[scan + D + 2] + 1) >> 2);
+                    }
+                }
+            }
+        }
+    }
+}
+
+void nhw_pair_promotion(int16_t *pf)
+{
+    int r;
+    long j;
+    for (r = 1; r < 255; r++) {
+        long base = (long)r * N;
+        for (j = D + 1; j < 2 * D - 1; j++) {
+            long a = base + j;
+            int v = pf[a];
+            if (v > 4 && v < 8) {
+                if (pf[a-1] > 3 && pf[a-1] <= 7 && pf[a+1] > 3
+                    && pf[a+1] <= 7) {
+                    pf[a] = 12700; pf[a-1] = 10100; pf[a+1] = 10100;
+                }
+            } else if (v < -4 && v > -8) {
+                if (pf[a-1] < -3 && pf[a-1] >= -7 && pf[a+1] < -3
+                    && pf[a+1] >= -7) {
+                    pf[a] = 12900; pf[a-1] = 10100; pf[a+1] = 10100;
+                }
+            } else if (v == -7 && (pf[a+1] == -6 || pf[a+1] == -7)) {
+                pf[a] = 10204; pf[a+1] = 10100;
+            } else if (v == 7 && pf[a+1] == 7) {
+                pf[a] = 10300; pf[a+1] = 10100;
+            } else if (v == 8) {
+                if ((pf[a-1] & 65534) == 6 || (pf[a+1] & 65534) == 6)
+                    pf[a] = 10;
+                else if (pf[a+1] == 8) { pf[a] = 9; pf[a+1] = 9; }
+            } else if (v == -8) {
+                if (((-pf[a-1]) & 65534) == 6
+                    || ((-pf[a+1]) & 65534) == 6) pf[a] = -9;
+                else if (pf[a+1] == -8) { pf[a] = -9; pf[a+1] = -9; }
+            }
+        }
+    }
+    for (r = 257; r < 511; r++) {
+        long base = (long)r * N;
+        for (j = 1; j < D - 1; j++) {
+            long a = base + j;
+            int v = pf[a];
+            if (v > 4 && v < 8) {
+                if (pf[a-1] > 3 && pf[a-1] <= 7 && pf[a+1] > 3
+                    && pf[a+1] <= 7) {
+                    pf[a] = 12700; pf[a-1] = 10100; pf[a+1] = 10100;
+                }
+            } else if (v < -4 && v > -8) {
+                if (pf[a-1] < -3 && pf[a-1] >= -7 && pf[a+1] < -3
+                    && pf[a+1] >= -7) {
+                    pf[a] = 12900; pf[a-1] = 10100; pf[a+1] = 10100;
+                }
+            } else if (v == -6 || v == -7) {
+                if (pf[a+1] == -7) {
+                    pf[a] = 10204; pf[a+1] = 10100;
+                } else if (pf[a-N] == -7) {
+                    if (iabs(pf[a + D]) < 8) pf[a + D] = 10204;
+                    pf[a] = 10100;
+                }
+            } else if (v == 7) {
+                if (pf[a+1] == 7) {
+                    pf[a] = 10300; pf[a+1] = 10100;
+                } else if (pf[a-N] == 7) {
+                    if (iabs(pf[a + D]) < 8) pf[a + D] = 10300;
+                    pf[a] = 10100;
+                }
+            } else if (v == 8) {
+                if ((pf[a-1] & 65534) == 6 || (pf[a+1] & 65534) == 6)
+                    pf[a] = 10;
+            } else if (v == -8) {
+                if (((-pf[a-1]) & 65534) == 6
+                    || ((-pf[a+1]) & 65534) == 6) pf[a] = -9;
+            }
+        }
+    }
+}
