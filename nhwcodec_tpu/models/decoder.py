@@ -149,6 +149,15 @@ def _isolated_smooth_y(flat: np.ndarray, quality: int) -> None:
     Raster Gauss-Seidel: a damped 9 becomes 8 and unblocks later pixels —
     processed sparsely in raster order with live reads."""
     diag_thr = 16 if quality <= T.LOW4 else 8
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        lib.nhw_isolated_smooth(ffi.cast("int16_t *", flat.ctypes.data),
+                                diag_thr)
+        return
+
     plane = flat[: 2 * SZ].reshape(D, N)
     r, c = np.nonzero(np.abs(plane[1:255, 1:255]) > 8)
     for k in range(len(r)):
@@ -199,6 +208,16 @@ def _dering_mark_y(proc: np.ndarray) -> list[int]:
     vectorized candidate scan, each placed mark re-queues the few later
     anchors it influences.  Returns packed row*256+col mark positions
     (marks removed from ``proc`` afterwards, :829-839)."""
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        marks = np.zeros(SZ, np.int32)
+        n = lib.nhw_dering_mark(ffi.cast("int16_t *", proc.ctypes.data),
+                                ffi.cast("int32_t *", marks.ctypes.data))
+        return marks[:n].tolist()
+
     lap = _lap_plane(proc[: 2 * SZ].reshape(D, N)[:, :D])
 
     res_a = lap[1:255, 1:254:2]
@@ -441,6 +460,14 @@ def _uv_sharpen(proc: np.ndarray, quality: int) -> None:
     each, so candidates within 12 of the threshold cover all reachable
     triggers; they are then replayed in raster order with live reads."""
     thr = 35 if quality <= T.LOW6 else 60
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        lib.nhw_uv_sharpen(ffi.cast("int16_t *", proc.ctypes.data), thr)
+        return
+
     lap = _lap_plane(proc.reshape(D, D))
     r, c = np.nonzero(np.abs(lap[1:255, 1:255]) > thr - 13)
     for k in range(len(r)):

@@ -67,6 +67,9 @@ void nhw_uv_compare_ladder(int16_t *jf, const int16_t *pf,
                            const int16_t *rf, int strict);
 void nhw_uv_ll_smooth(int16_t *pf);
 void nhw_pair_promotion(int16_t *pf);
+long nhw_dering_mark(int16_t *proc, int32_t *marks_out);
+void nhw_isolated_smooth(int16_t *flat, int diag_thr);
+void nhw_uv_sharpen(int16_t *proc, int thr);
 """
 
 _lib = None

@@ -2365,3 +2365,81 @@ void nhw_pair_promotion(int16_t *pf)
         }
     }
 }
+
+/* ------------------------------------------------------------------ */
+/* decoder raster passes (models/decoder.py)                           */
+
+static int lap8(const int16_t *a, long scan, int stride)
+{
+    return (a[scan] << 3) - a[scan-1] - a[scan+1]
+           - a[scan-stride] - a[scan+stride]
+           - a[scan-stride-1] - a[scan+stride-1]
+           - a[scan-stride+1] - a[scan+stride+1];
+}
+
+/* edge-detect marking (decoder/nhw_decoder.c:789-839 behavior):
+ * returns the number of marks written to marks_out (row*256+col) */
+long nhw_dering_mark(int16_t *proc, int32_t *marks_out)
+{
+    int r, c;
+    long nmarks = 0;
+    for (r = 1; r < 255; r++) {
+        for (c = 1; c < 254; c += 2) {
+            long scan = (long)r * N + c;
+            int res = lap8(proc, scan, N);
+            int cnt = lap8(proc, scan + 1, N);
+            int mark_col;
+            if (res > 41 && res < 108 && cnt < 16) mark_col = c;
+            else if (res < -41 && res > -108 && cnt > -16) mark_col = c;
+            else if (cnt > 41 && cnt < 108 && res < 16) mark_col = c + 1;
+            else if (cnt < -41 && cnt > -108 && res > -16) mark_col = c + 1;
+            else continue;
+            proc[(long)r * N + mark_col] += 16000;
+        }
+    }
+    for (r = 1; r < 255; r++) {
+        for (c = 0; c < D; c++) {
+            long scan = (long)r * N + c;
+            if (proc[scan] > 10000) {
+                marks_out[nmarks++] = r * D + c;
+                proc[scan] -= 16000;
+            }
+        }
+    }
+    return nmarks;
+}
+
+/* isolated-coefficient damping (decoder/nhw_decoder.c:660-711) */
+void nhw_isolated_smooth(int16_t *flat, int diag_thr)
+{
+    int r, c;
+    for (r = 1; r < 255; r++) {
+        for (c = 1; c < 255; c++) {
+            long scan = (long)r * N + c;
+            int v = flat[scan];
+            if (v <= 8 && v >= -8) continue;
+            if (iabs(flat[scan-N-1]) > diag_thr || iabs(flat[scan-N]) > 8
+                || iabs(flat[scan-N+1]) > diag_thr
+                || iabs(flat[scan-1]) > 8 || iabs(flat[scan+1]) > 8
+                || iabs(flat[scan+N-1]) > diag_thr
+                || iabs(flat[scan+N]) > 8
+                || iabs(flat[scan+N+1]) > diag_thr) continue;
+            if (r >= 128 || c >= 128)
+                flat[scan] = (int16_t)(v > 0 ? v - 1 : v + 1);
+        }
+    }
+}
+
+/* chroma laplacian sharpen (decoder/nhw_decoder.c:1082-1109) */
+void nhw_uv_sharpen(int16_t *proc, int thr)
+{
+    int r, c;
+    for (r = 1; r < 255; r++) {
+        for (c = 1; c < 255; c++) {
+            long scan = (long)r * D + c;
+            int res = lap8(proc, scan, D);
+            if (res > thr) proc[scan] += (res > 160) ? 3 : 2;
+            else if (res < -thr) proc[scan] -= (res < -160) ? 3 : 2;
+        }
+    }
+}

@@ -184,12 +184,12 @@ def ragged_gather_ordered(local_streams: list[bytes], axis: str = "data"):
 
     from jax.experimental import multihost_utils
 
-    max_len = max((len(s) for s in local_streams), default=0)
     lengths = np.array([len(s) for s in local_streams], np.int32)
+    all_lengths = multihost_utils.process_allgather(lengths)
+    max_len = int(all_lengths.max()) if all_lengths.size else 0
     padded = np.zeros((len(local_streams), max_len), np.uint8)
     for i, s in enumerate(local_streams):
         padded[i, : len(s)] = np.frombuffer(s, np.uint8)
-    all_lengths = multihost_utils.process_allgather(lengths)
     all_padded = multihost_utils.process_allgather(padded)
     out: list[bytes] = []
     for proc in range(all_lengths.shape[0]):
