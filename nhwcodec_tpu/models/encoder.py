@@ -902,6 +902,18 @@ def _uv_compare_ladder(jpeg: np.ndarray, process: np.ndarray,
                        res256: np.ndarray, strict: bool) -> None:
     """Post-synthesis LL1 compare (encoder/nhw_encoder.c:2316-2335 U,
     2629-2647 V; V uses strict inequality on the +-2 neighbour rule)."""
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        r16 = np.ascontiguousarray(res256.reshape(-1), np.int16)
+        lib.nhw_uv_compare_ladder(
+            ffi.cast("int16_t *", jpeg.ctypes.data),
+            ffi.cast("int16_t *", process.ctypes.data),
+            ffi.cast("int16_t *", r16.ctypes.data), 1 if strict else 0)
+        return
+
     pf = process.reshape(-1)
     jf = jpeg.reshape(-1)
     rf = res256.reshape(-1)

@@ -401,6 +401,19 @@ def _quantize_band(jpeg: np.ndarray, process: np.ndarray, quality: int,
     (encoder/image_processing.c:2909-3020, identical 3022-3133).  Per-row
     quant/quant6 duty counters at q<=LOW4; neighbour feedback through
     im_process[i+j+1]."""
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        c0_, c1_ = cols
+        lib.nhw_quantize_band(
+            ffi.cast("int16_t *", jpeg.ctypes.data),
+            ffi.cast("int16_t *", process.ctypes.data),
+            1 if quality <= T.LOW4 else 0, m1, part,
+            rows.start, rows.stop, c0_, c1_)
+        return
+
     pf = process.reshape(-1)
     jf = jpeg.reshape(-1)
     c0, c1 = cols
