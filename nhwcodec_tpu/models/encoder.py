@@ -953,6 +953,17 @@ def _uv_sentinel_marking(process: np.ndarray, res256: np.ndarray,
                          quality: int, res_uv: int) -> None:
     """Band sentinels 12400/12600/12900/13000 (encoder/nhw_encoder.c:2372-
     2424)."""
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        r16 = np.ascontiguousarray(res256.reshape(-1), np.int16)
+        lib.nhw_uv_sentinel_marking(
+            ffi.cast("int16_t *", process.ctypes.data),
+            ffi.cast("const int16_t *", r16.ctypes.data), res_uv)
+        return
+
     pf = process.reshape(-1)
     rf = res256.reshape(-1)
 

@@ -48,6 +48,24 @@ void nhw_kernel_simple(const int32_t *res, const int32_t *cnt, int32_t *out);
 void nhw_pair_walk_simple(int16_t *jf, const int32_t *kf);
 void nhw_quantize_band(int16_t *jf, int16_t *pf, int low4, int m1, int part,
                        int r0, int r1_, int c0, int c1);
+void nhw_offset_y_recons256(int16_t *jf, int16_t *pf, int quality, int m1,
+                            int part, int16_t *highres_tmp,
+                            const int32_t *highres_mem, int n_mem);
+void nhw_uv_sentinel_marking(int16_t *pf, const int16_t *rf, int res_uv);
+void nhw_build_positional_stream(int16_t *rf, const int32_t *word_tab,
+                                 const int16_t *repl_tab,
+                                 int32_t *positions, long *n_pos,
+                                 int32_t *words, long *n_words);
+void nhw_offset_uv_recons256(int16_t *jf, int16_t *pf, int low5p, int m1,
+                             int comp);
+void nhw_ll2_code_y(int16_t *pf, uint8_t *tree1, uint8_t *ch_res,
+                    int32_t *exw, long *n_exw,
+                    int32_t *res4, long *n_res4, int low3p);
+void nhw_y_highres_compression(const int32_t *h, long h_len,
+                               const uint8_t *ch_res, int low5p,
+                               int32_t *out, long *n_out, int *res_low_out,
+                               int32_t *hr_word, long *n_hr_word,
+                               int32_t *hr_mem, long *n_hr_mem);
 void nhw_kernel_low4(const int32_t *res, const int32_t *cnt, int32_t *out,
                      int sharpness, int sharpn2);
 void nhw_sentinel_pass_low4(int16_t *jf, int32_t *kf, uint8_t *sharp,

@@ -2443,3 +2443,720 @@ void nhw_uv_sharpen(int16_t *proc, int thr)
         }
     }
 }
+
+/* ------------------------------------------------------------------ */
+/* offsetY_recons256: full LL2 + level-2 requantization driver
+ * (ops/requant.py offset_y_recons256; encoder/image_processing.c:2600-
+ * 3190).  highres_tmp receives the 16384-entry LL2 snapshot at part=0;
+ * highres_mem (may be NULL) re-injects Y_highres positions at q>LOW5.  */
+
+void nhw_offset_y_recons256(int16_t *jf, int16_t *pf, int quality, int m1,
+                            int part, int16_t *highres_tmp,
+                            const int32_t *highres_mem, int n_mem)
+{
+    const int low3p = quality > 17, low4p = quality > 16,
+              low5p = quality > 15;
+    int r;
+
+    /* greedy odd-run marking in LL2 rows (image_processing.c:2608) */
+    if (low3p) {
+        for (r = 0; r < 128; r++) {
+            long base = (long)r * N;
+            int j = 0;
+            while (j < 125) {
+                long a = base + j;
+                int d = pf[a] - pf[a + 3];
+                if ((pf[a] & 1) && (pf[a + 1] & 1) && (pf[a + 2] & 1)
+                        && (pf[a + 3] & 1) && (d > 1 || d < -1)) {
+                    if (!part) {
+                        pf[a] += 16000; pf[a + 1] += 16000;
+                        pf[a + 2] += 16000; pf[a + 3] += 16000;
+                    } else {
+                        pf[a] += 16000; pf[a + 2] += 16000;
+                    }
+                    j += 4;
+                } else j += 1;
+            }
+        }
+    }
+
+    /* odd-pattern propagation + part=1 LSB masking (2640-2695) */
+    for (r = 0; r < 128; r++) {
+        long base = (long)r * N;
+        int j = 0;
+        while (j < 128) {
+            long a = base + j;
+            int v = pf[a];
+            if (v > 10000) {
+                if (!part) jf[a] = pf[a];
+                else {
+                    int nxt;
+                    pf[a] = (int16_t)(v - 16000);
+                    jf[a] = pf[a];
+                    nxt = pf[a + 1];
+                    if (nxt > 0 && nxt < 256)
+                        jf[a + 1] = (int16_t)(nxt & 65534);
+                    else jf[a + 1] = pf[a + 1];
+                    j += 1;
+                }
+                j += 1;
+                continue;
+            }
+            if ((v & 1) && j > 0 && (pf[a + 1] & 1)) {
+                if (j < 126 && (pf[a + 2] & 1)) {
+                    int d = v - pf[a + 2];
+                    if ((d > 1 || d < -1) && low3p) pf[a + 1] += 1;
+                } else if (base < SZ - N - 2 && (pf[a + N] & 1)
+                           && (pf[a + N + 1] & 1)
+                           && !(pf[a + N + 2] & 1)) {
+                    if (pf[a + N] < 10000 && low3p) pf[a + N] += 1;
+                }
+            } else if ((v & 1) && base >= N && base < SZ - 3 * N) {
+                if ((pf[a + N] & 1) && (pf[a + N + 1] & 1)) {
+                    if ((pf[a + 2 * N] & 1) && !(pf[a + 3 * N] & 1)) {
+                        if (pf[a + N] < 10000 && low3p) pf[a + N] += 1;
+                    }
+                }
+            }
+            if (part) {
+                if (v > 0 && v < 256) jf[a] = (int16_t)(pf[a] & 65534);
+                else jf[a] = pf[a];
+            }
+            j += 1;
+        }
+    }
+
+    /* part=0: strip sentinels, save highres_tmp, mask LSBs (2697) */
+    if (!part) {
+        long t = 0;
+        int j;
+        for (r = 0; r < 128; r++) {
+            long base = (long)r * N;
+            for (j = 0; j < 128; j++) {
+                long a = base + j;
+                int v = pf[a];
+                if (v < 10000) {
+                    highres_tmp[t] = (int16_t)v;
+                    jf[a] = (v >= 0 && v < 256) ? (int16_t)(v & 65534)
+                                                : pf[a];
+                } else {
+                    pf[a] = (int16_t)(v - 16000);
+                    highres_tmp[t] = pf[a];
+                    jf[a] = pf[a];
+                }
+                t++;
+            }
+        }
+        if (low5p && highres_mem) {
+            int k;
+            for (k = 0; k < n_mem; k++) {
+                long mem = highres_mem[k];
+                long jj = mem >> 7, aa = mem & 127;
+                jf[(jj << 9) + aa] = highres_tmp[mem];
+            }
+        }
+    }
+
+    /* q>LOW4: band pair/sentinel promotions (2759-2853) */
+    if (low4p) {
+        int region, j;
+        for (region = 0; region < 2; region++) {
+            int r0 = region ? 128 : 0, r1_ = region ? 255 : 128;
+            int j0 = region ? 1 : 129;
+            for (r = r0; r < r1_; r++) {
+                long base = (long)r * N;
+                j = j0;
+                while (j < 255) {
+                    long a = base + j;
+                    int v = pf[a], consumed = 0;
+                    if (v > 3 && v < 8) {
+                        if (pf[a - 1] > 3 && pf[a - 1] <= 7) {
+                            if (pf[a + 1] > 3 && pf[a + 1] <= 7) {
+                                pf[a - 1] = 15300; pf[a] = 0;
+                                jf[a] = 5; jf[a + 1] = 5;
+                                consumed = 1;
+                            } else if (pf[a + N - 1] > 3
+                                       && pf[a + N - 1] <= 7) {
+                                if (pf[a + N] > 3 && pf[a + N] <= 7) {
+                                    pf[a - 1] = 15500; jf[a] = 5;
+                                    pf[a + N - 1] = 15500;
+                                    jf[a + N] = 5; pf[a + N] = 0;
+                                    consumed = 1;
+                                }
+                            }
+                        }
+                    } else if (v > -8 && v < -3) {
+                        if (pf[a - 1] > -8 && pf[a - 1] <= -4) {
+                            if (pf[a + 1] > -8 && pf[a + 1] <= -4) {
+                                pf[a - 1] = 15400; pf[a] = 0;
+                                jf[a] = -6; jf[a + 1] = -5;
+                                consumed = 1;
+                            } else if (pf[a + N - 1] > -8
+                                       && pf[a + N - 1] <= -4) {
+                                if (pf[a + N] > -8 && pf[a + N] <= -4) {
+                                    pf[a - 1] = 15600; jf[a] = -5;
+                                    pf[a + N - 1] = 15600;
+                                    jf[a + N] = -5; pf[a + N] = 0;
+                                    consumed = 1;
+                                }
+                            }
+                        }
+                    }
+                    j += 1 + consumed;
+                }
+            }
+        }
+        if (!part) {
+            /* 15700/15800 pair markers (2855-2906) */
+            for (region = 0; region < 2; region++) {
+                int r0 = region ? 128 : 0, r1_ = region ? 256 : 128;
+                int j0 = region ? 0 : 128;
+                for (r = r0; r < r1_; r++) {
+                    long base = (long)r * N;
+                    j = j0;
+                    while (j < 255) {
+                        long a = base + j;
+                        int v = pf[a], w = pf[a + 1];
+                        if (v >= 5 && v <= 7 && w >= 5 && w <= 7) {
+                            pf[a] = 15700; j += 1;
+                        } else if (v >= -7 && v <= -5
+                                   && w >= -7 && w <= -5) {
+                            pf[a] = 15800; j += 1;
+                        }
+                        j += 1;
+                    }
+                }
+            }
+        }
+    }
+
+    /* band quantization with marker expansion (2909-3133) */
+    nhw_quantize_band(jf, pf, !low4p ? 1 : 0, m1, part, 0, 128, 128, 256);
+    nhw_quantize_band(jf, pf, !low4p ? 1 : 0, m1, part, 128, 256, 0, 256);
+
+    /* part=0: isolated-coefficient damping (3135-3189) */
+    if (!part) {
+        int thr_diag = low4p ? 8 : 16, j;
+        for (r = 1; r < 256; r++) {
+            long base = (long)r * N;
+            for (j = 1; j < 255; j++) {
+                long e = base + j;
+                int v = jf[e];
+                if ((v < 0 ? -v : v) < 8) continue;
+                if (iabs(jf[e - N - 1]) >= thr_diag
+                        || iabs(jf[e - N]) >= 8
+                        || iabs(jf[e - N + 1]) >= thr_diag
+                        || iabs(jf[e - 1]) >= 8 || iabs(jf[e + 1]) >= 8
+                        || iabs(jf[e + N - 1]) >= thr_diag
+                        || iabs(jf[e + N]) >= 8
+                        || iabs(jf[e + N + 1]) >= thr_diag) continue;
+                if (r >= 128 || j >= 128)
+                    jf[e] += (int16_t)(jf[e] > 0 ? -1 : 1);
+            }
+        }
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* UV band sentinels 12400/12600/12900/13000
+ * (models/encoder.py _uv_sentinel_marking; encoder/nhw_encoder.c:2372) */
+
+static int uv_place(int16_t *pf, long e, int code)
+{
+    static const long offs[3] = {128, SZ >> 1, (SZ >> 1) + 128};
+    int k;
+    for (k = 0; k < 3; k++) {
+        if (iabs(pf[e + offs[k]]) < 8) {
+            pf[e + offs[k]] = (int16_t)code;
+            return 1;
+        }
+    }
+    return 0;
+}
+
+void nhw_uv_sentinel_marking(int16_t *pf, const int16_t *rf, int res_uv)
+{
+    int r;
+    for (r = 0; r < 128; r++) {
+        int j = 0;
+        while (j < 128) {
+            long e = (long)r * D + j;
+            long cnt = (long)r * 128 + j;
+            int d0 = pf[e] - rf[cnt];
+            int d1 = (cnt + 1 < 16384) ? pf[e + 1] - rf[cnt + 1]
+                                       : pf[e + 1];
+            if (d0 > 3 && d0 < 7) {
+                if (d1 > 2 && d1 < 7) {
+                    if (uv_place(pf, e, 12400)) { j += 2; continue; }
+                }
+            } else if (d0 > -7 && d0 < -3) {
+                if (d1 > -8 && d1 < -2) {
+                    if (uv_place(pf, e, 12600)) { j += 2; continue; }
+                }
+            }
+            if (iabs(d0) > res_uv) {
+                if (d0 > 0) uv_place(pf, e, 12900);
+                else if (d0 == -5) {
+                    if (d1 < 0) uv_place(pf, e, 13000);
+                } else uv_place(pf, e, 13000);
+            }
+            j += 1;
+        }
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* res1/res3/res5 positional stream builder
+ * (ops/residue.py build_positional_stream; encoder/nhw_encoder.c:1498) */
+
+void nhw_build_positional_stream(int16_t *rf, const int32_t *word_tab,
+                                 const int16_t *repl_tab,
+                                 int32_t *positions, long *n_pos,
+                                 int32_t *words, long *n_words)
+{
+    long np_ = 0, nw = 0;
+    int r;
+    for (r = 0; r < D; r++) {
+        int j = 0;
+        while (j < D) {
+            long scan = (long)r * D + j;
+            int code;
+            if (j == D - 2) {
+                rf[scan] = 0;
+                rf[scan + 1] = 0;
+                positions[np_++] = D - 2;
+                j += 2;
+                continue;
+            }
+            code = rf[scan];
+            if (code >= 0 && code < 256 && word_tab[code] >= 0) {
+                positions[np_++] = j;
+                rf[scan] = repl_tab[code];
+                words[nw++] = word_tab[code];
+            }
+            j += 1;
+        }
+    }
+    *n_pos = np_;
+    *n_words = nw;
+}
+
+/* ------------------------------------------------------------------ */
+/* offsetUV_recons256 (ops/requant.py offset_uv_recons256;
+ * encoder/image_processing.c:3192-3353).  256-wide chroma planes.     */
+
+static void uv_band_region(int16_t *jf, int16_t *pf, int m1, int comp,
+                           int r0, int r1_, int c0, int c1)
+{
+    int r;
+    for (r = r0; r < r1_; r++) {
+        long base = (long)r * D;
+        int j = c0;
+        while (j < c1) {
+            long i = base + j;
+            int a = pf[i];
+            if ((a == -7 || a == -8) && !comp) {
+                if (j < 127 && (pf[i + 1] == -7 || pf[i + 1] == -8)) {
+                    jf[i] = -11;
+                    jf[i + 1] = -11;
+                    j += 2;
+                    continue;
+                }
+            }
+            if (a < 0) {
+                int nxt = (i + 1 < SZ) ? pf[i + 1] : 0;
+                a = -a;
+                if (nxt > -8 && nxt < 0) {
+                    if ((a & 7) < 6) a &= 65528;
+                } else {
+                    if ((a & 7) < 7) a &= 65528;
+                }
+                a = -a;
+            }
+            if (a > -m1 && a < m1) { jf[i] = 0; j += 1; continue; }
+            a += 128;
+            if (a < 0) a = -((-a) & 65528);
+            else a &= 65528;
+            jf[i] = (int16_t)(a > 128 ? a - 125 : a - 131);
+            j += 1;
+        }
+    }
+}
+
+void nhw_offset_uv_recons256(int16_t *jf, int16_t *pf, int low5p, int m1,
+                             int comp)
+{
+    long i;
+    if (comp) {
+        if (low5p) {
+            i = 0;
+            while (i < (SZ >> 2)) {
+                if ((i & 255) < 64) {
+                    if (!(i >> 8)) {
+                        jf[i] = pf[i];
+                        jf[i + 1] = (int16_t)(pf[i + 1] & 65534);
+                    } else {
+                        jf[i] = (int16_t)(pf[i] & 65534);
+                        jf[i + 1] = pf[i + 1];
+                    }
+                    i += 1;
+                }
+                i += 1;
+            }
+        } else {
+            for (i = 0; i < (SZ >> 2); i++)
+                if ((i & 255) < 64)
+                    jf[i] = (int16_t)((pf[i] & 65532) + 1);
+        }
+    } else {
+        for (i = 0; i < (SZ >> 2); i++) {
+            if ((i & 255) < 64) {
+                int v = pf[i];
+                jf[i] = (v > 0 && v < 256) ? (int16_t)(v & 65534) : pf[i];
+            }
+        }
+    }
+    uv_band_region(jf, pf, m1, comp, 0, 64, 64, 128);
+    uv_band_region(jf, pf, m1, comp, 64, 128, 0, 128);
+}
+
+/* ------------------------------------------------------------------ */
+/* LL2 plane -> byte codes + escapes + parity runs
+ * (ops/ll2.py ll2_code_y; encoder/nhw_encoder.c:636-743)              */
+
+void nhw_ll2_code_y(int16_t *pf, uint8_t *tree1, uint8_t *ch_res,
+                    int32_t *exw, long *n_exw,
+                    int32_t *res4, long *n_res4, int low3p)
+{
+    long ne = 0, nr = 0, a_out = 0;
+    int r, j;
+
+    if (low3p) {
+        for (r = 0; r < 128; r++) {
+            long base = (long)r * N;
+            j = 0;
+            while (j < 125) {
+                long a = base + j;
+                int d = pf[a] - pf[a + 3];
+                if ((pf[a] & 1) && (pf[a + 1] & 1) && (pf[a + 2] & 1)
+                        && (pf[a + 3] & 1) && (d > 1 || d < -1)) {
+                    pf[a] += 24000; pf[a + 1] += 16000;
+                    pf[a + 2] += 16000; pf[a + 3] += 16000;
+                    j += 4;
+                } else j += 1;
+            }
+        }
+    }
+
+    for (r = 0; r < 128; r++) {
+        long base = (long)r * N;
+        int stage = 0;
+        for (j = 0; j < 128; j++) {
+            long cnt = base + j;
+            int scan = pf[cnt];
+
+            if (low3p && scan > 10000) {
+                if (scan > 20000) {
+                    scan -= 24000;
+                    res4[nr++] = j + 1;
+                    stage += 1;
+                } else scan -= 16000;
+            } else if ((scan & 1) && j > 0 && (pf[cnt + 1] & 1)) {
+                if (j < 126 && (pf[cnt + 2] & 1)) {
+                    int d = scan - pf[cnt + 2];
+                    if ((d > 1 || d < -1) && low3p) pf[cnt + 1] += 1;
+                } else if (base < SZ - N - 2 && (pf[cnt + N] & 1)
+                           && (pf[cnt + N + 1] & 1)
+                           && !(pf[cnt + N + 2] & 1)) {
+                    if (pf[cnt + N] < 10000 && low3p) pf[cnt + N] += 1;
+                }
+            } else if ((scan & 1) && base >= N && base < SZ - 3 * N) {
+                if ((pf[cnt + N] & 1) && (pf[cnt + N + 1] & 1)) {
+                    if ((pf[cnt + 2 * N] & 1) && !(pf[cnt + 3 * N] & 1)) {
+                        if (pf[cnt + N] < 10000 && low3p) pf[cnt + N] += 1;
+                    }
+                }
+            }
+
+            if (scan > 255 && (j > 0 || r > 0)) {
+                exw[ne++] = r;
+                exw[ne++] = j + 128;
+                exw[ne++] = scan - 255 < 255 ? scan - 255 : 255;
+                tree1[a_out] = tree1[a_out - 1];
+                ch_res[a_out] = tree1[a_out - 1];
+                a_out++;
+                pf[cnt] = 0;
+            } else if (scan < 0 && (j > 0 || r > 0)) {
+                exw[ne++] = r;
+                exw[ne++] = j;
+                exw[ne++] = -(scan > -255 ? scan : -255);
+                tree1[a_out] = tree1[a_out - 1];
+                ch_res[a_out] = tree1[a_out - 1];
+                a_out++;
+                pf[cnt] = 0;
+            } else {
+                scan = scan > 255 ? 255 : (scan < 0 ? 0 : scan);
+                ch_res[a_out] = (uint8_t)scan;
+                tree1[a_out] = (uint8_t)(scan & 254);
+                a_out++;
+                pf[cnt] = 0;
+            }
+        }
+        if (low3p) {
+            if (!stage) res4[nr++] = 128;
+            else res4[nr - 1] += 128;
+        }
+    }
+    *n_exw = ne;
+    *n_res4 = nr;
+}
+
+/* ------------------------------------------------------------------ */
+/* Y_highres_compression (ops/ll2.py; encoder/compress_pixel.c:471-876)
+ * h: int32 tree1 + aliased tail, h_len entries.                       */
+
+static long yhr_escape(int32_t *ch, long *nc, const int32_t *h,
+                       const uint8_t *ch_res, int32_t *hr_word,
+                       long *nhw_, int32_t *hr_mem, long *nhm,
+                       long i, int low5p)
+{
+    if (low5p) {
+        ch[(*nc)++] = 128;
+        ch[(*nc)++] = 128 + (h[i] >> 1);
+        ch[(*nc)++] = 128 + (h[i + 1] >> 1);
+        hr_word[(*nhw_)++] = ch_res[i];
+        hr_mem[(*nhm)++] = (int32_t)i;
+        return i + 1;
+    }
+    ch[(*nc)++] = 128;
+    ch[(*nc)++] = 128 + (h[i] >> 1);
+    return i;
+}
+
+void nhw_y_highres_compression(const int32_t *h, long h_len,
+                               const uint8_t *ch_res, int low5p,
+                               int32_t *out, long *n_out, int *res_low_out,
+                               int32_t *hr_word, long *n_hr_word,
+                               int32_t *hr_mem, long *n_hr_mem)
+{
+    static int32_t ch[3 * 16384 + 8];
+    long nc = 0, nhw_ = 0, nhm = 0, i, j, o;
+    long e = 0, Y = 0, a = 0, cap = h_len - 1;
+    int res_low;
+
+    i = 1;
+    while (i < 16384) {
+        while (i < cap && h[i] == h[i - 1]) {
+            e += 1;
+            if (e < 16) {
+                if (e == 8) a += 1;
+                i += 1;
+            } else if (e == 16) { Y += 1; break; }
+        }
+        e = 0;
+        i += 1;
+    }
+    a += Y;
+
+    ch[nc++] = h[0];
+    if (Y > 299) res_low = 2;
+    else if (a > 179) res_low = 1;
+    else res_low = 0;
+
+    if (res_low == 0) {
+        i = 1; a = 0;
+        while (i < 16384) {
+            int scan = h[i] - h[i - 1];
+            int count = h[i + 1] - h[i];
+            if (scan == 0 && count == 0) {
+                long code;
+                int d1, d2;
+                if (h[i + a + 2] == h[i + a + 1]) a += 1;
+                i += a + 2;
+                code = a << 3;
+                d1 = h[i] - h[i - 1];
+                d2 = h[i + 1] - h[i];
+                if (d1 == 2) {
+                    if (d2 == -2) { code += 2; i += 1; }
+                    else if (d2 == 0) { code += 3; i += 1; }
+                    else code += 1;
+                } else if (d1 == -2) {
+                    if (d2 == 2) { code += 4; i += 1; }
+                    else if (d2 == 0) { code += 5; i += 1; }
+                    else code += 6;
+                } else if (d1 == 4) code += 7;
+                else i -= 1;
+                ch[nc++] = (int32_t)code;
+                a = 0;
+                i += 1;
+                continue;
+            }
+            if (iabs(scan) <= 6 && iabs(count) <= 8) {
+                int s = scan + 6, c = count + 8;
+                if (s == 12 || c == 16) {
+                    if (i < 16382 && iabs(h[i + 2] - h[i + 1]) <= 32) {
+                        int e3 = h[i + 2] - h[i + 1] + 32;
+                        s += 26; c += 8;
+                        if (s == 64 || c == 32 || e3 == 64)
+                            i = yhr_escape(ch, &nc, h, ch_res, hr_word,
+                                           &nhw_, hr_mem, &nhm, i, low5p);
+                        else {
+                            c >>= 1;
+                            ch[nc++] = 64;
+                            ch[nc++] = 64 + s + (c >> 3);
+                            ch[nc++] = ((c & 7) << 5) + (e3 >> 1);
+                            i += 2;
+                        }
+                    } else
+                        i = yhr_escape(ch, &nc, h, ch_res, hr_word, &nhw_,
+                                       hr_mem, &nhm, i, low5p);
+                } else {
+                    if (s < 8) ch[nc++] = 32 + (s << 2) + (c >> 1);
+                    else if (s == 8) ch[nc++] = 16 + (c >> 1);
+                    else ch[nc++] = 24 + (c >> 1);
+                    i += 1;
+                }
+            } else if (iabs(scan) <= 32 && iabs(count) <= 16 && i < 16382
+                       && iabs(h[i + 2] - h[i + 1]) <= 32) {
+                int s = scan + 32, c = count + 16;
+                int e3 = h[i + 2] - h[i + 1] + 32;
+                if (s == 64 || c == 32 || e3 == 64)
+                    i = yhr_escape(ch, &nc, h, ch_res, hr_word, &nhw_,
+                                   hr_mem, &nhm, i, low5p);
+                else {
+                    c >>= 1;
+                    ch[nc++] = 64;
+                    ch[nc++] = 64 + s + (c >> 3);
+                    ch[nc++] = ((c & 7) << 5) + (e3 >> 1);
+                    i += 2;
+                }
+            } else
+                i = yhr_escape(ch, &nc, h, ch_res, hr_word, &nhw_, hr_mem,
+                               &nhm, i, low5p);
+            i += 1;
+        }
+    } else if (res_low == 1) {
+        i = 1; a = 0;
+        while (i < 16384) {
+            int scan = h[i] - h[i - 1];
+            int count = h[i + 1] - h[i];
+            if (scan == 0 && count == 0) {
+                long code;
+                int d1;
+                while (a < 7 && h[i + a + 2] == h[i + a + 1]) a += 1;
+                i += a + 2;
+                code = a << 2;
+                d1 = h[i] - h[i - 1];
+                if (d1 == 2) code += 1;
+                else if (d1 == -2) code += 2;
+                else if (d1 == 0) code += 3;
+                else i -= 1;
+                ch[nc++] = (int32_t)code;
+                a = 0;
+                i += 1;
+                continue;
+            }
+            if (iabs(scan) <= 4 && iabs(count) <= 8) {
+                int s = scan + 4, c = count + 8;
+                if (s == 8 || c == 16) {
+                    if (i < 16382 && iabs(h[i + 2] - h[i + 1]) <= 32) {
+                        int e3 = h[i + 2] - h[i + 1] + 32;
+                        s += 28; c += 8;
+                        if (s == 64 || c == 32 || e3 == 64)
+                            i = yhr_escape(ch, &nc, h, ch_res, hr_word,
+                                           &nhw_, hr_mem, &nhm, i, low5p);
+                        else {
+                            c >>= 1;
+                            ch[nc++] = 64;
+                            ch[nc++] = 64 + s + (c >> 3);
+                            ch[nc++] = ((c & 7) << 5) + (e3 >> 1);
+                            i += 2;
+                        }
+                    } else
+                        i = yhr_escape(ch, &nc, h, ch_res, hr_word, &nhw_,
+                                       hr_mem, &nhm, i, low5p);
+                } else {
+                    ch[nc++] = 32 + (s << 2) + (c >> 1);
+                    i += 1;
+                }
+            } else if (iabs(scan) <= 32 && iabs(count) <= 16 && i < 16382
+                       && iabs(h[i + 2] - h[i + 1]) <= 32) {
+                int s = scan + 32, c = count + 16;
+                int e3 = h[i + 2] - h[i + 1] + 32;
+                if (s == 64 || c == 32 || e3 == 64)
+                    i = yhr_escape(ch, &nc, h, ch_res, hr_word, &nhw_,
+                                   hr_mem, &nhm, i, low5p);
+                else {
+                    c >>= 1;
+                    ch[nc++] = 64;
+                    ch[nc++] = 64 + s + (c >> 3);
+                    ch[nc++] = ((c & 7) << 5) + (e3 >> 1);
+                    i += 2;
+                }
+            } else
+                i = yhr_escape(ch, &nc, h, ch_res, hr_word, &nhw_, hr_mem,
+                               &nhm, i, low5p);
+            i += 1;
+        }
+    } else {
+        i = 1; a = 0;
+        while (i < 16384) {
+            int scan = h[i] - h[i - 1];
+            int count = h[i + 1] - h[i];
+            if (scan == 0 && count == 0) {
+                while (a < 63 && h[i + a + 2] == h[i + a + 1]) a += 1;
+                i += a + 1;
+                ch[nc++] = (int32_t)a;
+                a = 0;
+                i += 1;
+                continue;
+            }
+            if (iabs(scan) <= 32 && iabs(count) <= 16 && i < 16382
+                && iabs(h[i + 2] - h[i + 1]) <= 32) {
+                int s = scan + 32, c = count + 16;
+                int e3 = h[i + 2] - h[i + 1] + 32;
+                if (s == 64 || c == 32 || e3 == 64)
+                    i = yhr_escape(ch, &nc, h, ch_res, hr_word, &nhw_,
+                                   hr_mem, &nhm, i, low5p);
+                else {
+                    c >>= 1;
+                    ch[nc++] = 64;
+                    ch[nc++] = 64 + s + (c >> 3);
+                    ch[nc++] = ((c & 7) << 5) + (e3 >> 1);
+                    i += 2;
+                }
+            } else
+                i = yhr_escape(ch, &nc, h, ch_res, hr_word, &nhw_, hr_mem,
+                               &nhm, i, low5p);
+            i += 1;
+        }
+    }
+
+    /* squeeze pass (compress_pixel.c:838-866) */
+    j = nc;
+    o = 0;
+    out[o++] = ch[0];
+    i = 1;
+    while (i < j - 1) {
+        if (ch[i] == 64) {
+            out[o++] = ch[i + 1];
+            out[o++] = ch[i + 2];
+            i += 2;
+        } else if (ch[i] == 128) {
+            if (low5p) {
+                out[o++] = ch[i + 2];
+                i += 2;
+            } else {
+                i += 1;
+                out[o++] = ch[i];
+            }
+        } else out[o++] = ch[i];
+        i += 1;
+    }
+    if (i < j) out[o++] = ch[j - 1];
+
+    *n_out = o;
+    *res_low_out = res_low;
+    *n_hr_word = nhw_;
+    *n_hr_mem = nhm;
+}

@@ -29,6 +29,27 @@ def ll2_code_y(process: np.ndarray, quality: int):
     Returns (tree1[16384] uint8, ch_res[16384] uint8, exw list[int],
     res4 list[int]).
     """
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        tree1 = np.zeros(16384, np.uint8)
+        ch_res = np.zeros(16384, np.uint8)
+        exw_a = np.empty(3 * 16384, np.int32)
+        res4_a = np.empty(16384 + 256, np.int32)
+        n_exw = ffi.new("long *")
+        n_res4 = ffi.new("long *")
+        lib.nhw_ll2_code_y(
+            ffi.cast("int16_t *", process.ctypes.data),
+            ffi.cast("uint8_t *", tree1.ctypes.data),
+            ffi.cast("uint8_t *", ch_res.ctypes.data),
+            ffi.cast("int32_t *", exw_a.ctypes.data), n_exw,
+            ffi.cast("int32_t *", res4_a.ctypes.data), n_res4,
+            1 if quality > T.LOW3 else 0)
+        return (tree1, ch_res, exw_a[: n_exw[0]].tolist(),
+                res4_a[: n_res4[0]].tolist())
+
     pf = process.reshape(-1)
     tree1 = np.zeros(16384, np.uint8)
     ch_res = np.zeros(16384, np.uint8)
@@ -145,6 +166,29 @@ def y_highres_compression(tree1: np.ndarray, ch_res: np.ndarray,
         n = min(len(tail), len(pad))
         pad[:n] = tail[:n]
     h = np.concatenate([tree1.astype(np.int32), pad])
+
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        cr = np.ascontiguousarray(ch_res, np.uint8)
+        out = np.empty(3 * 16384 + 8, np.int32)
+        hw = np.empty(16384, np.int32)
+        hm = np.empty(16384, np.int32)
+        n_out = ffi.new("long *")
+        res_low_out = ffi.new("int *")
+        n_hw = ffi.new("long *")
+        n_hm = ffi.new("long *")
+        lib.nhw_y_highres_compression(
+            ffi.cast("const int32_t *", h.ctypes.data), h.size,
+            ffi.cast("const uint8_t *", cr.ctypes.data),
+            1 if quality > T.LOW5 else 0,
+            ffi.cast("int32_t *", out.ctypes.data), n_out, res_low_out,
+            ffi.cast("int32_t *", hw.ctypes.data), n_hw,
+            ffi.cast("int32_t *", hm.ctypes.data), n_hm)
+        return (out[: n_out[0]].tolist(), res_low_out[0],
+                hw[: n_hw[0]].tolist(), hm[: n_hm[0]].tolist())
 
     # mode-select run statistics (482-497)
     e = 0

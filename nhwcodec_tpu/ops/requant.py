@@ -188,6 +188,28 @@ def offset_y_recons256(jpeg: np.ndarray, process: np.ndarray, quality: int,
     Mutates jpeg/process (512-wide planes).  part=1 marks in-place for the
     feedback loop; part=0 finalizes codes.  ``highres_mem`` (part=0,
     q>LOW5) re-injects positions saved by Y_highres_compression."""
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        ht = np.empty(SZ >> 2, np.int16)
+        if not part and quality > T.LOW5 and highres_mem is not None:
+            hm = np.ascontiguousarray(highres_mem, np.int32)
+            hm_ptr = ffi.cast("const int32_t *", hm.ctypes.data)
+            n_mem = hm.size
+        else:
+            hm_ptr = ffi.NULL
+            n_mem = 0
+        lib.nhw_offset_y_recons256(
+            ffi.cast("int16_t *", jpeg.ctypes.data),
+            ffi.cast("int16_t *", process.ctypes.data),
+            quality, m1, part,
+            ffi.cast("int16_t *", ht.ctypes.data), hm_ptr, n_mem)
+        if not part and highres_tmp_out is not None:
+            highres_tmp_out.append(ht)
+        return
+
     pf = process.reshape(-1)
     jf = jpeg.reshape(-1)
 
@@ -503,6 +525,17 @@ def _quantize_band(jpeg: np.ndarray, process: np.ndarray, quality: int,
 def offset_uv_recons256(jpeg: np.ndarray, process: np.ndarray, quality: int,
                         m1: int, comp: int) -> None:
     """Chroma LL2 + band requantization on (256,256) planes."""
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        lib.nhw_offset_uv_recons256(
+            ffi.cast("int16_t *", jpeg.ctypes.data),
+            ffi.cast("int16_t *", process.ctypes.data),
+            1 if quality > T.LOW5 else 0, m1, comp)
+        return
+
     pf = process.reshape(-1)
     jf = jpeg.reshape(-1)
 

@@ -22,6 +22,10 @@ D = 256
 N = 512
 SZ = 65536
 
+# cached (word_tab, repl_tab) lookup pairs for the native positional
+# stream builder, keyed by the codes mapping
+_POS_STREAM_TABS: dict = {}
+
 
 def _band_w1(pf, st):
     v = int(pf[st])
@@ -380,6 +384,33 @@ def build_positional_stream(res256: np.ndarray, codes: dict[int, tuple],
     the pair.  Returns (res_bytes, bit_bytes, word_bytes) as uint8 arrays
     (word packing width chosen by the caller via pack2).
     """
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        key = tuple(sorted(codes.items()))
+        tabs = _POS_STREAM_TABS.get(key)
+        if tabs is None:
+            wt = np.full(256, -1, np.int32)
+            rt = np.zeros(256, np.int16)
+            for c, (w, repl) in codes.items():
+                wt[c] = w
+                rt[c] = repl
+            tabs = _POS_STREAM_TABS[key] = (wt, rt)
+        wt, rt = tabs
+        pos = np.empty(SZ + 2 * D, np.int32)
+        wrd = np.empty(SZ, np.int32)
+        n_pos = ffi.new("long *")
+        n_words = ffi.new("long *")
+        lib.nhw_build_positional_stream(
+            ffi.cast("int16_t *", res256.ctypes.data),
+            ffi.cast("const int32_t *", wt.ctypes.data),
+            ffi.cast("const int16_t *", rt.ctypes.data),
+            ffi.cast("int32_t *", pos.ctypes.data), n_pos,
+            ffi.cast("int32_t *", wrd.ctypes.data), n_words)
+        return pos[: n_pos[0]].tolist(), wrd[: n_words[0]].tolist()
+
     rf = res256.reshape(-1)
     positions: list[int] = []
     words: list[int] = []
