@@ -587,6 +587,31 @@ def yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     """YUV->RGB with the reference's per-quality float semantics
     (decoder/nhw_decoder_cli.c:133-283).  Returns (512,512,3) uint8 in the
     reference's byte order."""
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        if quality >= T.NORM:
+            mode, yinv = 0, 0.0
+        elif quality == T.LOW3:
+            mode, yinv = 1, float(np.float32(T.Y_INV[quality]))
+        elif quality in (T.LOW1, T.LOW2):
+            mode, yinv = 2, float(np.float32(T.Y_INV[quality]))
+        else:
+            mode, yinv = 3, float(np.float32(T.Y_INV[quality]))
+        ya = np.ascontiguousarray(y, np.uint8)
+        ua = np.ascontiguousarray(u, np.uint8)
+        va = np.ascontiguousarray(v, np.uint8)
+        out = np.empty((512, 512, 3), np.uint8)
+        lib.nhw_yuv_to_rgb(
+            ffi.cast("const uint8_t *", ya.ctypes.data),
+            ffi.cast("const uint8_t *", ua.ctypes.data),
+            ffi.cast("const uint8_t *", va.ctypes.data),
+            ffi.cast("uint8_t *", out.ctypes.data), mode, yinv,
+            T.R_COMP, T.G_COMP, T.B_COMP)
+        return out
+
     if quality >= T.NORM or quality in (T.LOW1, T.LOW2, T.LOW3):
         uf = u.astype(np.float64) - 128.0
         vf = v.astype(np.float64) - 128.0

@@ -3160,3 +3160,59 @@ void nhw_y_highres_compression(const int32_t *h, long h_len,
     *n_hr_word = nhw_;
     *n_hr_mem = nhm;
 }
+
+/* ------------------------------------------------------------------ */
+/* YUV->RGB with per-quality float semantics
+ * (models/decoder.py yuv_to_rgb; decoder/nhw_decoder_cli.c:133-283).
+ * mode 0: q>=NORM double path; 1: LOW3 scaled-sum; 2: LOW1/2 float32
+ * Y prescale; 3: q<=LOW4 integer matrix.  No FMA contraction at the
+ * default x86-64 codegen, so float32/float64 roundings match numpy.  */
+
+static uint8_t rgb_clip(long v)
+{
+    if (v >> 8) return v < 0 ? 0 : 255;
+    return (uint8_t)v;
+}
+
+void nhw_yuv_to_rgb(const uint8_t *y, const uint8_t *u, const uint8_t *v,
+                    uint8_t *out, int mode, float yinv,
+                    int rc, int gc, int bc)
+{
+    long i;
+    if (mode == 3) {
+        for (i = 0; i < (long)N * N; i++) {
+            long yi = (long)y[i] * 298;
+            long ui = u[i], vi = v[i];
+            long ra = yi + 409 * vi + rc;
+            long ga = yi - 100 * ui - 208 * vi + gc;
+            long ba = yi + 516 * ui + bc;
+            float fr = (float)ra * yinv + 128.5f;
+            float fg = (float)ga * yinv + 128.5f;
+            float fb = (float)ba * yinv + 128.5f;
+            out[3 * i] = rgb_clip((long)fr >> 8);
+            out[3 * i + 1] = rgb_clip((long)fg >> 8);
+            out[3 * i + 2] = rgb_clip((long)fb >> 8);
+        }
+        return;
+    }
+    for (i = 0; i < (long)N * N; i++) {
+        double uf = (double)u[i] - 128.0;
+        double vf = (double)v[i] - 128.0;
+        double yq, r, g, b;
+        if (mode == 2) yq = (double)((float)y[i] * yinv);
+        else yq = (double)y[i];
+        if (mode == 1) {
+            double yd = (double)yinv;
+            r = (yq + 1.402 * vf) * yd + 0.5;
+            g = (yq - 0.34414 * uf - 0.71414 * vf) * yd + 0.5;
+            b = (yq + 1.772 * uf) * yd + 0.5;
+        } else {
+            r = yq + 1.402 * vf + 0.5;
+            g = yq - 0.34414 * uf - 0.71414 * vf + 0.5;
+            b = yq + 1.772 * uf + 0.5;
+        }
+        out[3 * i] = rgb_clip((long)r);
+        out[3 * i + 1] = rgb_clip((long)g);
+        out[3 * i + 2] = rgb_clip((long)b);
+    }
+}
