@@ -69,6 +69,9 @@ void nhw_y_highres_compression(const int32_t *h, long h_len,
 void nhw_yuv_to_rgb(const uint8_t *y, const uint8_t *u, const uint8_t *v,
                     uint8_t *out, int mode, float yinv,
                     int rc, int gc, int bc);
+void nhw_uv_highres_compression(const int32_t *h, int32_t *out, long *n_out);
+void nhw_downsample_yuv420(const uint8_t *rgb, int mode, float yq, int qtz,
+                           int16_t *y, uint8_t *u_out, uint8_t *v_out);
 void nhw_kernel_low4(const int32_t *res, const int32_t *cnt, int32_t *out,
                      int sharpness, int sharpn2);
 void nhw_sentinel_pass_low4(int16_t *jf, int32_t *kf, uint8_t *sharp,

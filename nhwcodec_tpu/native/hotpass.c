@@ -3216,3 +3216,158 @@ void nhw_yuv_to_rgb(const uint8_t *y, const uint8_t *u, const uint8_t *v,
         out[3 * i + 2] = rgb_clip((long)b);
     }
 }
+
+/* ------------------------------------------------------------------ */
+/* UV 64x64 LL2 plane compression (ops/ll2.py uv_highres_compression;
+ * encoder/compress_pixel.c:878-1014).  h: 8192 masked bytes + tail.   */
+
+void nhw_uv_highres_compression(const int32_t *h, int32_t *out, long *n_out)
+{
+    const long n = 8192;
+    long o = 0, i = 1, a = 0;
+    int res = 0;
+    out[o++] = h[0];
+    while (i < n) {
+        int scan = h[i] - h[i - 1];
+        int count = h[i + 1] - h[i];
+        if (scan == 0 && count == 0) {
+            while (h[i + a + 2] == h[i + a + 1]) {
+                a += 1;
+                if (a < 7) continue;
+                if (a == 7 || res == 1) {
+                    res = 1;
+                    if (a < 14) continue;
+                }
+                break;
+            }
+            i += a + 1;
+            if (res == 1) out[o++] = (int32_t)(64 + (7 << 3) + a - 7);
+            else {
+                long code;
+                int d1, d2, d3;
+                i += 1;
+                code = 64 + (a << 3);
+                d1 = h[i] - h[i - 1];
+                d2 = h[i + 1] - h[i];
+                d3 = h[i + 2] - h[i + 1];
+                if (d1 == 4) {
+                    if (d2 == -4) {
+                        if (d3 == 0) { code += 3; i += 2; }
+                        else { code += 2; i += 1; }
+                    } else code += 1;
+                } else if (d1 == -4) {
+                    if (d2 == 4) {
+                        if (d3 == 0) { code += 4; i += 2; }
+                        else { code += 5; i += 1; }
+                    } else code += 6;
+                } else if (d1 == 8) code += 7;
+                else i -= 1;
+                out[o++] = (int32_t)code;
+            }
+            a = 0;
+            res = 0;
+            i += 1;
+            continue;
+        }
+        if (iabs(scan) <= 4 && iabs(count) <= 4) {
+            int d3;
+            if (scan == 0 && count == 4) res = 0;
+            else if (scan == 0 && count == -4) res = 1;
+            else if (scan == 4 && count == 0) res = 2;
+            else if (scan == -4 && count == 0) res = 3;
+            else if (scan == 4 && count == 4) res = 4;
+            else if (scan == 4 && count == -4) res = 5;
+            else if (scan == -4 && count == 4) res = 6;
+            else if (scan == -4 && count == -4) res = 7;
+            d3 = h[i + 2] - h[i + 1];
+            if (d3 == 0) { out[o++] = 128 + 64 + (res << 2); i += 2; }
+            else if (d3 == 4) { out[o++] = 128 + 64 + (res << 2) + 1; i += 2; }
+            else if (d3 == -4) { out[o++] = 128 + 64 + (res << 2) + 2; i += 2; }
+            else if (d3 == 8) { out[o++] = 128 + 64 + (res << 2) + 3; i += 2; }
+            else {
+                out[o++] = ((scan + 16) << 1) + ((count + 16) >> 2);
+                i += 1;
+            }
+            res = 0;
+        } else if (iabs(scan) <= 16 && iabs(count) <= 16) {
+            int s = scan + 16, c = count + 16;
+            if (s == 32 || c == 32) out[o++] = 128 + (h[i] >> 2);
+            else { out[o++] = (s << 1) + (c >> 2); i += 1; }
+        } else out[o++] = 128 + (h[i] >> 2);
+        i += 1;
+    }
+    *n_out = o;
+}
+
+/* ------------------------------------------------------------------ */
+/* Encoder colorspace: RGB -> YUV420 (ops/colorspace.py downsample_yuv420;
+ * encoder/colorspace.c:55-260).  mode 0: q>=NORM; 1: LOW1/2 (yq f32);
+ * 2: LOW3 (0.94 scaling); 3: q<=LOW4 integer matrix with qtz.         */
+
+static void chroma_downsample(const uint8_t *c, uint8_t *out)
+{
+    static int32_t h[512][256];
+    int r, j;
+    for (r = 0; r < 512; r++) {
+        const uint8_t *row = c + (long)r * 512;
+        h[r][0] = (row[0] + row[1] + 1) >> 1;
+        for (j = 1; j < 256; j++)
+            h[r][j] = (row[2 * j - 1] + 2 * row[2 * j] + row[2 * j + 1]
+                       + 2) >> 2;
+    }
+    for (j = 0; j < 256; j++)
+        out[j] = (uint8_t)((h[0][j] + h[1][j] + 1) >> 1);
+    for (r = 1; r < 256; r++)
+        for (j = 0; j < 256; j++)
+            out[(long)r * 256 + j] = (uint8_t)(
+                (h[2 * r - 1][j] + 2 * h[2 * r][j] + h[2 * r + 1][j] + 2)
+                >> 2);
+}
+
+static uint8_t u8_clip_c(long v)
+{
+    if (v >> 8) return v < 0 ? 0 : 255;
+    return (uint8_t)v;
+}
+
+void nhw_downsample_yuv420(const uint8_t *rgb, int mode, float yq, int qtz,
+                           int16_t *y, uint8_t *u_out, uint8_t *v_out)
+{
+    static uint8_t uplane[512 * 512], vplane[512 * 512];
+    const double half_neg = (double)128.4f;
+    long i;
+    for (i = 0; i < 512L * 512; i++) {
+        int ri = rgb[3 * i], gi = rgb[3 * i + 1], bi = rgb[3 * i + 2];
+        if (mode == 3) {
+            long yv = (((66L * ri + 129L * gi + 25L * bi) * qtz + 4194304)
+                       >> 23) + 16;
+            long uv = (((-38L * ri - 74L * gi + 112L * bi) * qtz + 4194304)
+                       >> 23) + 128;
+            long vv = (((112L * ri - 94L * gi - 18L * bi) * qtz + 4194304)
+                       >> 23) + 128;
+            y[i] = (int16_t)yv;
+            uplane[i] = u8_clip_c(uv);
+            vplane[i] = u8_clip_c(vv);
+        } else {
+            double r = ri, g = gi, b = bi;
+            double ysum = 0.299 * r + 0.587 * g + 0.114 * b;
+            double cb = -0.1687 * r - 0.3313 * g + 0.5 * b;
+            double cr = 0.5 * r - 0.4187 * g - 0.0813 * b;
+            long uv, vv;
+            if (mode == 0) y[i] = (int16_t)(long)(ysum + 0.5);
+            else if (mode == 1)
+                y[i] = (int16_t)(long)(ysum * (double)yq + 0.5);
+            else {
+                y[i] = (int16_t)(long)(ysum * 0.94 + 0.5);
+                cb = cb * 0.94;
+                cr = cr * 0.94;
+            }
+            uv = (long)(cb >= 0 ? cb + 128.5 : cb + half_neg);
+            vv = (long)(cr >= 0 ? cr + 128.5 : cr + half_neg);
+            uplane[i] = u8_clip_c(uv);
+            vplane[i] = u8_clip_c(vv);
+        }
+    }
+    chroma_downsample(uplane, u_out);
+    chroma_downsample(vplane, v_out);
+}

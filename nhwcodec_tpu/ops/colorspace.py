@@ -96,5 +96,31 @@ def downsample_yuv420(rgb: np.ndarray, quality: int
                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full encoder colorspace stage: (512,512,3) uint8 ->
     (Y (512,512) int16, U (256,256) uint8, V (256,256) uint8)."""
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        if quality <= T.LOW4:
+            mode, yq, qtz = 3, 0.0, QTZ[quality]
+        elif quality >= T.NORM:
+            mode, yq, qtz = 0, 0.0, 0
+        elif quality in (T.LOW1, T.LOW2):
+            mode = 1
+            yq = float(np.float32(0.975 if quality == T.LOW1 else 0.93))
+            qtz = 0
+        else:  # LOW3
+            mode, yq, qtz = 2, 0.0, 0
+        rgb_c = np.ascontiguousarray(rgb, np.uint8)
+        y = np.empty((512, 512), np.int16)
+        u = np.empty((256, 256), np.uint8)
+        v = np.empty((256, 256), np.uint8)
+        lib.nhw_downsample_yuv420(
+            ffi.cast("const uint8_t *", rgb_c.ctypes.data), mode, yq, qtz,
+            ffi.cast("int16_t *", y.ctypes.data),
+            ffi.cast("uint8_t *", u.ctypes.data),
+            ffi.cast("uint8_t *", v.ctypes.data))
+        return y, u, v
+
     y, u, v = rgb_to_yuv(rgb, quality)
     return y, downsample_chroma(u), downsample_chroma(v)

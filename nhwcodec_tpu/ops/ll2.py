@@ -434,6 +434,19 @@ def uv_highres_compression(tree1_uv: np.ndarray,
         n = min(len(tail), 80)
         pad[:n] = tail[:n]
     h = np.concatenate([tree1_uv.astype(np.int32), pad])
+
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        out = np.empty(2 * 8192 + 8, np.int32)
+        n_out = ffi.new("long *")
+        lib.nhw_uv_highres_compression(
+            ffi.cast("const int32_t *", h.ctypes.data),
+            ffi.cast("int32_t *", out.ctypes.data), n_out)
+        return out[: n_out[0]].tolist()
+
     n = 8192
     ch: list[int] = [int(h[0])]
     i = 1
