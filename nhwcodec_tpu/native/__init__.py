@@ -72,6 +72,16 @@ void nhw_yuv_to_rgb(const uint8_t *y, const uint8_t *u, const uint8_t *v,
 void nhw_uv_highres_compression(const int32_t *h, int32_t *out, long *n_out);
 void nhw_downsample_yuv420(const uint8_t *rgb, int mode, float yq, int qtz,
                            int16_t *y, uint8_t *u_out, uint8_t *v_out);
+void nhw_synth_unnorm(const int16_t *L, const int16_t *H, long rows, long M,
+                      int32_t *out);
+void nhw_synth_norm(const int16_t *L, const int16_t *H, long rows, long M,
+                    int32_t *out);
+void nhw_down_iv(const int16_t *X, long rows, long n,
+                 int16_t *low, int16_t *high);
+void nhw_down_53(const int16_t *X, long rows, long n,
+                 int16_t *low, int16_t *high);
+void nhw_down_vi(const int16_t *X, long rows, long n,
+                 int16_t *low, int16_t *high);
 void nhw_kernel_low4(const int32_t *res, const int32_t *cnt, int32_t *out,
                      int sharpness, int sharpn2);
 void nhw_sentinel_pass_low4(int16_t *jf, int32_t *kf, uint8_t *sharp,

@@ -3371,3 +3371,138 @@ void nhw_downsample_yuv420(const uint8_t *rgb, int mode, float yq, int qtz,
     chroma_downsample(uplane, u_out);
     chroma_downsample(vplane, v_out);
 }
+
+/* ------------------------------------------------------------------ */
+/* Integer 5/3 lifting filter row passes (ops/lifting.py synth_unnorm /
+ * synth_norm, ops/analysis.py down_iv / down_53 / down_vi; reference
+ * encoder/filters.c:55-386, decoder/filters.c:143-194).  All inputs are
+ * int16 rows; stores wrap to int16 exactly where the C reference stores
+ * into short.                                                         */
+
+static int w16(int x) { return (int16_t)x; }
+
+void nhw_synth_unnorm(const int16_t *L, const int16_t *H, long rows, long M,
+                      int32_t *out)
+{
+    long r, k;
+    for (r = 0; r < rows; r++) {
+        const int16_t *l = L + r * M, *h = H + r * M;
+        int32_t *o = out + r * 2 * M;
+        for (k = 0; k < M; k++) {
+            int even = w16(k < M - 1 ? l[k] << 3 : l[M - 1] << 3);
+            int odd = w16(k < M - 1 ? (l[k + 1] + l[k]) << 2
+                                    : l[M - 1] << 3);
+            int sub = k == 0 ? h[0] << 2 : (h[k] + h[k - 1]) << 1;
+            int add;
+            if (k == 0) add = 5 * h[0] - h[1];
+            else if (k == M - 1) add = 5 * h[M - 1] - h[M - 2];
+            else add = 6 * h[k] - h[k + 1] - h[k - 1];
+            o[2 * k] = w16(even - sub);
+            o[2 * k + 1] = w16(odd + add);
+        }
+    }
+}
+
+void nhw_synth_norm(const int16_t *L, const int16_t *H, long rows, long M,
+                    int32_t *out)
+{
+    long r, k;
+    for (r = 0; r < rows; r++) {
+        const int16_t *l = L + r * M, *h = H + r * M;
+        int32_t *o = out + r * 2 * M;
+        for (k = 0; k < M; k++) {
+            int even = w16(k < M - 1 ? l[k] << 3 : l[M - 1] << 3);
+            int odd = w16(k < M - 1 ? (l[k + 1] + l[k]) << 2
+                                    : l[M - 1] << 3);
+            int sub = k == 0 ? h[0] << 2 : (h[k] + h[k - 1]) << 1;
+            int add;
+            if (k == 0) add = 5 * h[0] - h[1];
+            else if (k == M - 1) add = 5 * h[M - 1] - h[M - 2];
+            else add = 6 * h[k] - h[k + 1] - h[k - 1];
+            even = w16(even - sub);
+            odd = w16(odd + add);
+            o[2 * k] = w16(even > 0 ? even + 32 : even) >> 6;
+            o[2 * k + 1] = w16(odd > 0 ? odd + 32 : odd) >> 6;
+        }
+    }
+}
+
+static int low_raw(const int16_t *x, long n, long k)
+{
+    long M = n >> 1;
+    if (k == 0) return 6 * x[0] + 4 * x[1] - 2 * x[2];
+    if (k == M - 1)
+        return 6 * x[n - 2] + 2 * (x[n - 3] + x[n - 1])
+               - (x[n - 4] + x[n - 2]);
+    return 6 * x[2 * k] + 2 * (x[2 * k - 1] + x[2 * k + 1])
+           - (x[2 * k - 2] + x[2 * k + 2]);
+}
+
+static int round_pos(int r, int add, int shift)
+{
+    return r >= 0 ? (r + add) >> shift : -((-r + add) >> shift);
+}
+
+void nhw_down_iv(const int16_t *X, long rows, long n,
+                 int16_t *low, int16_t *high)
+{
+    long r, k, M = n >> 1;
+    for (r = 0; r < rows; r++) {
+        const int16_t *x = X + r * n;
+        int16_t *lo = low + r * M, *hi = high + r * M;
+        for (k = 0; k < M; k++) {
+            lo[k] = (int16_t)low_raw(x, n, k);
+            if (k < M - 1)
+                hi[k] = (int16_t)(2 * x[2 * k + 1]
+                                  - (x[2 * k] + x[2 * k + 2]));
+            else hi[k] = (int16_t)((x[n - 1] - x[n - 2]) << 1);
+        }
+    }
+}
+
+void nhw_down_53(const int16_t *X, long rows, long n,
+                 int16_t *low, int16_t *high)
+{
+    long r, k, M = n >> 1;
+    for (r = 0; r < rows; r++) {
+        const int16_t *x = X + r * n;
+        int16_t *lo = low + r * M, *hi = high + r * M;
+        int prev_odd = 0;
+        for (k = 0; k < M; k++) {
+            lo[k] = (int16_t)round_pos(low_raw(x, n, k), 8, 4);
+            if (k < M - 1) {
+                int a = x[2 * k] + x[2 * k + 2];
+                int adj = a + ((a & 1) & prev_odd & (int)(k & 1));
+                int rh = x[2 * k + 1] - (adj >> 1);
+                prev_odd = a & 1;
+                hi[k] = (int16_t)(rh > 0 ? (rh + 1) >> 1 : rh >> 1);
+            } else hi[k] = (int16_t)((x[n - 1] - x[n - 2] + 1) >> 1);
+        }
+    }
+}
+
+void nhw_down_vi(const int16_t *X, long rows, long n,
+                 int16_t *low, int16_t *high)
+{
+    long r, k, M = n >> 1;
+    for (r = 0; r < rows; r++) {
+        const int16_t *x = X + r * n;
+        int16_t *lo = low + r * M, *hi = high + r * M;
+        int prev_odd = 0, d_prev = 0;
+        for (k = 0; k < M; k++) {
+            int rr = low_raw(x, n, k);
+            int rm = (rr < 0 ? -rr : rr) & 63;
+            int mag = rm < 32 ? rm >> 2 : -((64 - rm) >> 2);
+            int d = rr >= 0 ? mag : -mag;
+            lo[k] = (int16_t)round_pos(w16(rr + d_prev), 32, 6);
+            d_prev = d;
+            if (k < M - 1) {
+                int a = x[2 * k] + x[2 * k + 2];
+                int adj = a + ((a & 1) & prev_odd & (int)(k & 1));
+                int rh = x[2 * k + 1] - (adj >> 1);
+                prev_odd = a & 1;
+                hi[k] = (int16_t)round_pos(rh, 4, 3);
+            } else hi[k] = (int16_t)(w16(x[n - 1] - x[n - 2]) >> 3);
+        }
+    }
+}

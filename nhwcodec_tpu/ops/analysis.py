@@ -27,6 +27,25 @@ from nhwcodec_tpu.ops.lifting import synth_norm, synth_unnorm, wrap16
 # 1-D building blocks (rows = leading axes, filtered axis last)
 
 
+def _down_native(X, fn_name: str):
+    """Dispatch one analysis row pass to the native runtime.  X: (..., n)
+    numpy int16 array; returns (low, high) int16 (..., n/2) pairs."""
+    from nhwcodec_tpu import native
+
+    lib = native._load()
+    ffi = native.ffi()
+    Xc = np.ascontiguousarray(X, np.int16)
+    n = Xc.shape[-1]
+    rows = Xc.size // n
+    low = np.empty(Xc.shape[:-1] + (n // 2,), np.int16)
+    high = np.empty_like(low)
+    getattr(lib, fn_name)(
+        ffi.cast("const int16_t *", Xc.ctypes.data), rows, n,
+        ffi.cast("int16_t *", low.ctypes.data),
+        ffi.cast("int16_t *", high.ctypes.data))
+    return low, high
+
+
 def _low_raw(X, xp=np):
     """Un-normalized lowpass moments r[k] (encoder/filters.c:367-384):
     r[0]=6X0+4X1-2X2; r[k]=6X[2k]+2(X[2k-1]+X[2k+1])-(X[2k-2]+X[2k+2]);
@@ -66,6 +85,12 @@ def _round_pos(r, add, shift, xp=np):
 def down_iv(X, xp=np):
     """downfilter53IV both phases (encoder/filters.c:346-386): raw
     moments, no normalization.  Returns (low, high) wrapped to int16."""
+    if xp is np:
+        from nhwcodec_tpu import native
+
+        if native.available():
+            return _down_native(X, "nhw_down_iv")
+
     low = wrap16(_low_raw(X, xp), xp)
     Xl = X.astype(xp.int64)
     n = X.shape[-1]
@@ -78,6 +103,12 @@ def down_iv(X, xp=np):
 def down_53(X, xp=np):
     """Plain downfilter53 (encoder/filters.c:55-114): /16 lowpass with
     sign-symmetric rounding, /2 highpass with positive-biased rounding."""
+    if xp is np:
+        from nhwcodec_tpu import native
+
+        if native.available():
+            return _down_native(X, "nhw_down_53")
+
     low = _round_pos(_low_raw(X, xp), 8, 4, xp)
     r = _high_adj(X, xp)
     h = xp.where(r > 0, (r + 1) >> 1, r >> 1)
@@ -100,6 +131,12 @@ def down_vi(X, xp=np):
     """downfilter53VI == downfilter53II (encoder/filters.c:116-287):
     lowpass r normalized /64 after adding the previous slot's dither
     (through an int16 store), highpass /8."""
+    if xp is np:
+        from nhwcodec_tpu import native
+
+        if native.available():
+            return _down_native(X, "nhw_down_vi")
+
     r = _low_raw(X, xp)
     d = _dither(r, xp)
     d_prev = xp.concatenate([xp.zeros_like(d[..., :1]), d[..., :-1]], axis=-1)

@@ -24,12 +24,38 @@ def wrap16(x, xp=np):
     return ((x + 32768) & 65535) - 32768
 
 
+def _synth_native(L, H, fn_name: str):
+    """Dispatch one synthesis row pass to the native runtime.  L, H:
+    (..., M) numpy int arrays; returns (..., 2M) int32 like the pure
+    path."""
+    from nhwcodec_tpu import native
+
+    lib = native._load()
+    ffi = native.ffi()
+    Lc = np.ascontiguousarray(L, np.int16)
+    Hc = np.ascontiguousarray(H, np.int16)
+    M = Lc.shape[-1]
+    rows = Lc.size // M
+    out = np.empty(Lc.shape[:-1] + (2 * M,), np.int32)
+    getattr(lib, fn_name)(
+        ffi.cast("const int16_t *", Lc.ctypes.data),
+        ffi.cast("const int16_t *", Hc.ctypes.data), rows, M,
+        ffi.cast("int32_t *", out.ctypes.data))
+    return out
+
+
 def synth_unnorm(L, H, xp=np):
     """upfilter53I + upfilter53III: one un-normalized (x8) synthesis row pass.
 
     L, H: (..., M) int arrays (the low/high halves of each row).
     Returns (..., 2M) int32 array of wrapped-int16 values.
     """
+    if xp is np:
+        from nhwcodec_tpu import native
+
+        if native.available():
+            return _synth_native(L, H, "nhw_synth_unnorm")
+
     L = L.astype(xp.int32)
     H = H.astype(xp.int32)
     M = L.shape[-1]
@@ -65,6 +91,12 @@ def synth_norm(L, H, xp=np):
     """upfilter53I + upfilter53VI: final synthesis row pass with /64
     normalization (+32 rounding of positives only, decoder/filters.c:171-194).
     """
+    if xp is np:
+        from nhwcodec_tpu import native
+
+        if native.available():
+            return _synth_native(L, H, "nhw_synth_norm")
+
     L = L.astype(xp.int32)
     H = H.astype(xp.int32)
     M = L.shape[-1]
