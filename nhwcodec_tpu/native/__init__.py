@@ -82,6 +82,11 @@ void nhw_down_53(const int16_t *X, long rows, long n,
                  int16_t *low, int16_t *high);
 void nhw_down_vi(const int16_t *X, long rows, long n,
                  int16_t *low, int16_t *high);
+void nhw_decode_dc_planes(const uint8_t *ch, const uint8_t *hr,
+                          const int32_t *uv_off, int use_hr, int mode,
+                          uint8_t *rc);
+void nhw_mark_res256(const int16_t *process, int16_t *res256);
+void nhw_unmark_res256(int16_t *flat, int16_t *res256);
 void nhw_kernel_low4(const int32_t *res, const int32_t *cnt, int32_t *out,
                      int sharpness, int sharpn2);
 void nhw_sentinel_pass_low4(int16_t *jf, int32_t *kf, uint8_t *sharp,

@@ -3506,3 +3506,230 @@ void nhw_down_vi(const int16_t *X, long rows, long n,
         }
     }
 }
+
+/* ------------------------------------------------------------------ */
+/* LL2 DC-plane reconstruction (ops/dc_plane.py decode_dc_planes;
+ * decoder/nhw_decoder.c:1665-1979).  Fills rc[49153]; the U/V LSB
+ * bit-planes are re-added by the caller.                              */
+
+static long dc3byte(const uint8_t *ch, long i, uint8_t *rc, long j)
+{
+    int c = ch[i] - 64, t;
+    rc[j] = (uint8_t)(((((c >> 1) & 31) << 1) - 32 + rc[j - 1]) & 255);
+    t = (c & 1) << 3;
+    i += 1;
+    t |= ch[i] >> 5;
+    rc[j + 1] = (uint8_t)(((t << 1) - 16 + rc[j]) & 255);
+    rc[j + 2] = (uint8_t)((((ch[i] & 31) << 1) - 32 + rc[j + 1]) & 255);
+    return i;
+}
+
+void nhw_decode_dc_planes(const uint8_t *ch, const uint8_t *hr,
+                          const int32_t *uv_off, int use_hr, int mode,
+                          uint8_t *rc)
+{
+    const long Y_LL2 = 16384;
+    long i = 1, a = 0, j = 1, end;
+    int k_, run, low, c, v;
+    rc[0] = ch[0];
+
+    if (mode == 0) {
+        while (j < Y_LL2) {
+            c = ch[i];
+            if (c >= 128) {
+                if (use_hr) { rc[j] = hr[a]; j += 1; a += 1; }
+                rc[j] = (uint8_t)(((c - 128) << 1) & 255);
+                j += 1;
+            } else if (c < 16) {
+                run = (c >> 3) & 1;
+                v = rc[j - 1];
+                for (k_ = 0; k_ < run + 2; k_++) { rc[j] = v; j += 1; }
+                low = c & 7;
+                if (low == 1) { rc[j] = rc[j - 1] + 2; j += 1; }
+                else if (low == 2) {
+                    rc[j] = rc[j - 1] + 2; j += 1;
+                    rc[j] = rc[j - 1] - 2; j += 1;
+                } else if (low == 3) {
+                    rc[j] = rc[j - 1] + 2; j += 1;
+                    rc[j] = rc[j - 1]; j += 1;
+                } else if (low == 4) {
+                    rc[j] = rc[j - 1] - 2; j += 1;
+                    rc[j] = rc[j - 1] + 2; j += 1;
+                } else if (low == 5) {
+                    rc[j] = rc[j - 1] - 2; j += 1;
+                    rc[j] = rc[j - 1]; j += 1;
+                } else if (low == 6) { rc[j] = rc[j - 1] - 2; j += 1; }
+                else if (low == 7) { rc[j] = rc[j - 1] + 4; j += 1; }
+            } else if (c < 32) {
+                rc[j] = rc[j - 1] + (c >= 24 ? 4 : 2);
+                j += 1;
+                rc[j] = (uint8_t)((((c & 7) << 1) - 8 + rc[j - 1]) & 255);
+                j += 1;
+            } else if (c < 64) {
+                c -= 32;
+                rc[j] = (uint8_t)((((c >> 3) << 1) - 6 + rc[j - 1]) & 255);
+                j += 1;
+                rc[j] = (uint8_t)((((c & 7) << 1) - 8 + rc[j - 1]) & 255);
+                j += 1;
+            } else { i = dc3byte(ch, i, rc, j); j += 3; }
+            i += 1;
+        }
+    } else if (mode == 1) {
+        while (j < Y_LL2) {
+            c = ch[i];
+            if (c >= 128) {
+                if (use_hr) { rc[j] = hr[a]; j += 1; a += 1; }
+                rc[j] = (uint8_t)(((c - 128) << 1) & 255);
+                j += 1;
+            } else if (c < 32) {
+                run = (c >> 2) & 7;
+                v = rc[j - 1];
+                for (k_ = 0; k_ < run + 2; k_++) { rc[j] = v; j += 1; }
+                low = c & 3;
+                if (low == 1) { rc[j] = rc[j - 1] + 2; j += 1; }
+                else if (low == 2) { rc[j] = rc[j - 1] - 2; j += 1; }
+                else if (low == 3) { rc[j] = rc[j - 1]; j += 1; }
+            } else if (c < 64) {
+                c -= 32;
+                rc[j] = (uint8_t)((((c >> 3) << 1) - 4 + rc[j - 1]) & 255);
+                j += 1;
+                rc[j] = (uint8_t)((((c & 7) << 1) - 8 + rc[j - 1]) & 255);
+                j += 1;
+            } else { i = dc3byte(ch, i, rc, j); j += 3; }
+            i += 1;
+        }
+    } else {
+        while (j < Y_LL2) {
+            c = ch[i];
+            if (c >= 128) {
+                if (use_hr) { rc[j] = hr[a]; j += 1; a += 1; }
+                rc[j] = (uint8_t)(((c - 128) << 1) & 255);
+                j += 1;
+            } else if (c < 64) {
+                run = c & 63;
+                v = rc[j - 1];
+                for (k_ = 0; k_ < run + 2; k_++) { rc[j] = v; j += 1; }
+            } else { i = dc3byte(ch, i, rc, j); j += 3; }
+            i += 1;
+        }
+    }
+
+    rc[Y_LL2] = ch[i];
+    i += 1;
+
+    j = Y_LL2 + 1;
+    end = Y_LL2 + 8192;
+    while (j < end) {
+        c = ch[i];
+        if (c >= 192) {
+            c -= 192;
+            k_ = c >> 2;
+            rc[j] = (uint8_t)((uv_off[2 * k_] + rc[j - 1]) & 255);
+            j += 1;
+            rc[j] = (uint8_t)((uv_off[2 * k_ + 1] + rc[j - 1]) & 255);
+            j += 1;
+            low = c & 3;
+            if (low == 0) rc[j] = rc[j - 1];
+            else if (low == 1) rc[j] = rc[j - 1] + 4;
+            else if (low == 2) rc[j] = rc[j - 1] - 4;
+            else rc[j] = rc[j - 1] + 8;
+            j += 1;
+        } else if (c >= 128) {
+            rc[j] = (uint8_t)(((c - 128) << 2) & 255);
+            j += 1;
+        } else if (c >= 64) {
+            run = (c >> 3) & 7;
+            v = rc[j - 1];
+            if (run == 7) {
+                run = (c & 7) + 7;
+                for (k_ = 0; k_ < run + 2; k_++) { rc[j] = v; j += 1; }
+            } else {
+                for (k_ = 0; k_ < run + 2; k_++) { rc[j] = v; j += 1; }
+                low = c & 7;
+                if (low == 1) { rc[j] = rc[j - 1] + 4; j += 1; }
+                else if (low == 2) {
+                    rc[j] = rc[j - 1] + 4; j += 1;
+                    rc[j] = rc[j - 1] - 4; j += 1;
+                } else if (low == 3) {
+                    rc[j] = rc[j - 1] + 4; j += 1;
+                    rc[j] = rc[j - 1] - 4; j += 1;
+                    rc[j] = rc[j - 1]; j += 1;
+                } else if (low == 4) {
+                    rc[j] = rc[j - 1] - 4; j += 1;
+                    rc[j] = rc[j - 1] + 4; j += 1;
+                    rc[j] = rc[j - 1]; j += 1;
+                } else if (low == 5) {
+                    rc[j] = rc[j - 1] - 4; j += 1;
+                    rc[j] = rc[j - 1] + 4; j += 1;
+                } else if (low == 6) { rc[j] = rc[j - 1] - 4; j += 1; }
+                else if (low == 7) { rc[j] = rc[j - 1] + 8; j += 1; }
+            }
+        } else {
+            rc[j] = (uint8_t)((((c >> 3) << 2) - 16 + rc[j - 1]) & 255);
+            j += 1;
+            rc[j] = (uint8_t)((((c & 7) << 2) - 16 + rc[j - 1]) & 255);
+            j += 1;
+        }
+        i += 1;
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* requant feedback sentinels (ops/requant.py mark_res256 /
+ * unmark_res256; encoder/nhw_encoder.c:144-216)                       */
+
+void nhw_mark_res256(const int16_t *process, int16_t *res256)
+{
+    int r, c;
+    for (r = 0; r < D; r++) {
+        for (c = 0; c < D; c++) {
+            int band = (r >= 128) || (c >= 128);
+            long scan = (long)r * N + c;
+            int p = process[scan];
+            int add = 0;
+            if (band) {
+                int nmod = (-p) & 7;
+                if ((p < -7 && (nmod == 7 || nmod == 0))
+                        || (p > 4 && p <= 7))
+                    add += 16000;
+                else {
+                    int a12 = (p < -4 && p >= -7)
+                        || (p >= 0 && !(p >= 2 && p < 5)
+                            && ((p & 7) == 0 || (p & 7) == 1));
+                    if (!a12 && p >= 2 && p < 5
+                            && scan >= 2 * D + 1
+                            && scan < 2L * SZ - N - 1) {
+                        if (process[scan - (N + 1)] != 0
+                                || process[scan + (N + 1)] != 0)
+                            a12 = 1;
+                    }
+                    if (a12) add += 12000;
+                }
+            }
+            if (add) res256[(long)r * D + c] += (int16_t)add;
+        }
+    }
+}
+
+void nhw_unmark_res256(int16_t *flat, int16_t *res256)
+{
+    int r, c;
+    for (r = 0; r < D; r++) {
+        for (c = 0; c < D; c++) {
+            int v = res256[(long)r * D + c];
+            long tgt = -1;
+            int hi;
+            if (v <= 10000) continue;
+            hi = v > 14000;
+            res256[(long)r * D + c] -= hi ? 16000 : 12000;
+            if (r < 128 && c >= 128)
+                tgt = ((long)r << 1) + ((long)(c - 128) << 10) + N;
+            else if (r >= 128 && c < 128)
+                tgt = ((long)(r - 128) << 1) + ((long)c << 10) + 1;
+            else if (r >= 128 && c >= 128)
+                tgt = ((long)(r - 128) << 1) + ((long)(c - 128) << 10)
+                      + N + 1;
+            if (tgt >= 0) flat[tgt] += (int16_t)(hi ? 1 : -1);
+        }
+    }
+}

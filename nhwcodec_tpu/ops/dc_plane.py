@@ -33,6 +33,30 @@ def decode_dc_planes(
     res_high: int,
 ) -> np.ndarray:
     """Return the reconstructed res_comp[24577] uint8 buffer."""
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        ch = np.ascontiguousarray(res_ch, np.uint8)
+        hrc = np.ascontiguousarray(highres_comp, np.uint8)
+        off = np.ascontiguousarray(T.UV_SMALL_DC_OFFSET.reshape(-1),
+                                   np.int32)
+        rc = np.zeros(96 * T.IM_DIM + 1, np.uint8)
+        lib.nhw_decode_dc_planes(
+            ffi.cast("const uint8_t *", ch.ctypes.data),
+            ffi.cast("const uint8_t *", hrc.ctypes.data),
+            ffi.cast("const int32_t *", off.ctypes.data),
+            1 if quality > T.LOW5 else 0, res_high & 3,
+            ffi.cast("uint8_t *", rc.ctypes.data))
+        if quality > T.LOW5:
+            u_bits = np.unpackbits(res_U_64)[: _UV_LL2]
+            v_bits = np.unpackbits(res_V_64)[: _UV_LL2]
+            rc[_Y_LL2:_Y_LL2 + _UV_LL2] += u_bits << 1
+            start_v = _Y_LL2 + _UV_LL2
+            rc[start_v:start_v + _UV_LL2] += v_bits << 1
+        return rc
+
     ch_list = res_ch.tolist()
     hr = highres_comp.tolist()
     rc = [0] * (96 * T.IM_DIM + 1)

@@ -35,6 +35,16 @@ def mark_res256(process: np.ndarray, res256: np.ndarray) -> None:
     """Sentinel-mark res256 from the stage-2 band coefficients
     (encoder/nhw_encoder.c:144-177).  process: (512,512); res256: (256,256).
     Pure vector pass (reads are unmodified)."""
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        lib.nhw_mark_res256(
+            ffi.cast("const int16_t *", process.ctypes.data),
+            ffi.cast("int16_t *", res256.ctypes.data))
+        return
+
     p = process[:D, :D].astype(np.int32)
     r_idx, c_idx = np.mgrid[0:D, 0:D]
     band = (r_idx >= 128) | (c_idx >= 128)
@@ -62,6 +72,16 @@ def mark_res256(process: np.ndarray, res256: np.ndarray) -> None:
 def unmark_res256(process: np.ndarray, res256: np.ndarray) -> None:
     """Remove sentinels and nudge the corresponding level-1 band
     coefficients (encoder/nhw_encoder.c:183-216).  Scatter is bijective."""
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        lib.nhw_unmark_res256(
+            ffi.cast("int16_t *", process.ctypes.data),
+            ffi.cast("int16_t *", res256.ctypes.data))
+        return
+
     flat = process.reshape(-1)
     r, c = np.nonzero(res256 > 10000)
     hi = res256[r, c] > 14000
