@@ -48,6 +48,15 @@ def _expand_sentinels_y(flat: np.ndarray, count0: int, quality: int) -> None:
     (decoder/nhw_decoder.c:493-607).  ``count0`` is the live value the C
     code carries into the third loop's neighbour counter (a reproduced
     reference quirk).  Modifies ``flat`` (512*512 linear int16) in place."""
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        lib.nhw_expand_sentinels_y(
+            ffi.cast("int16_t *", flat.ctypes.data), count0,
+            1 if quality < T.HIGH3 else 0)
+        return
 
     def expand_top(scan: int, j: int) -> None:
         v = flat[scan]
@@ -399,14 +408,24 @@ def decode_y(s: NHWStreams, res_comp: np.ndarray) -> np.ndarray:
     jpeg = proc.reshape(N, N).T.copy().reshape(-1)
 
     # smooth marked pixels (decoder/nhw_decoder.c:850-867), x8 domain
-    for rec in marks:
-        scan = ((rec >> 8) << 10) + (rec & 255)
-        res = _lap8(jpeg, scan, N)
-        if abs(res) < 116:
-            jpeg[scan] = np.int16(
-                ((int(jpeg[scan]) << 2)
-                 + int(jpeg[scan - 1]) + int(jpeg[scan + 1])
-                 + int(jpeg[scan - N]) + int(jpeg[scan + N]) + 4) >> 3)
+    from nhwcodec_tpu import native
+
+    if native.available() and marks:
+        lib = native._load()
+        ffi = native.ffi()
+        mk = np.asarray(marks, np.int32)
+        lib.nhw_smooth_marks(ffi.cast("int16_t *", jpeg.ctypes.data),
+                             ffi.cast("const int32_t *", mk.ctypes.data),
+                             mk.size)
+    else:
+        for rec in marks:
+            scan = ((rec >> 8) << 10) + (rec & 255)
+            res = _lap8(jpeg, scan, N)
+            if abs(res) < 116:
+                jpeg[scan] = np.int16(
+                    ((int(jpeg[scan]) << 2)
+                     + int(jpeg[scan - 1]) + int(jpeg[scan + 1])
+                     + int(jpeg[scan - N]) + int(jpeg[scan + N]) + 4) >> 3)
 
     # final row synthesis (wavelet_synthesis(im, 512, ..., Y=3)) + clip
     jp = jpeg.reshape(N, N)
@@ -422,6 +441,15 @@ def _uv_sentinels(jpeg: np.ndarray, proc: np.ndarray) -> None:
     """UV residue sentinels 5003-5006 (decoder/nhw_decoder.c:991-1069).
     Reads the coefficient plane, adjusts the synthesized half-res plane;
     the adjustments are pure scatter-adds."""
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        lib.nhw_uv_sentinels(ffi.cast("int16_t *", jpeg.ctypes.data),
+                             ffi.cast("int16_t *", proc.ctypes.data))
+        return
+
     half = SZ >> 1
 
     def handle(scan: int, tgt: int) -> None:

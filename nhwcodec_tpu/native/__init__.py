@@ -87,6 +87,9 @@ void nhw_decode_dc_planes(const uint8_t *ch, const uint8_t *hr,
                           uint8_t *rc);
 void nhw_mark_res256(const int16_t *process, int16_t *res256);
 void nhw_unmark_res256(int16_t *flat, int16_t *res256);
+void nhw_expand_sentinels_y(int16_t *flat, int count0, int dering);
+void nhw_smooth_marks(int16_t *jpeg, const int32_t *marks, long n_marks);
+void nhw_uv_sentinels(int16_t *jpeg, int16_t *proc);
 void nhw_kernel_low4(const int32_t *res, const int32_t *cnt, int32_t *out,
                      int sharpness, int sharpn2);
 void nhw_sentinel_pass_low4(int16_t *jf, int32_t *kf, uint8_t *sharp,

@@ -3733,3 +3733,129 @@ void nhw_unmark_res256(int16_t *flat, int16_t *res256)
         }
     }
 }
+
+/* ------------------------------------------------------------------ */
+/* Y sentinel expansion + band dering nudges
+ * (models/decoder.py _expand_sentinels_y; decoder/nhw_decoder.c:493-607) */
+
+static int rd0(const int16_t *flat, long idx)
+{
+    return (idx >= 0 && idx < 4L * SZ) ? flat[idx] : 0;
+}
+
+static void expand_top_c(int16_t *flat, long scan, int j)
+{
+    int v = flat[scan];
+    if (v == 1008) {
+        flat[scan - 1] = 5; flat[scan + 1] = 5;
+        flat[scan] = j < D ? 5 : 6;
+    } else if (v == 1009) {
+        flat[scan - 1] = -5; flat[scan + 1] = -5;
+        flat[scan] = j < D ? -6 : -7;
+    } else if (v == 1010) {
+        flat[scan] = 5; flat[scan + 1] = 5;
+        flat[scan + N] = 5; flat[scan + N + 1] = 5;
+    } else if (v == 1011) {
+        flat[scan] = -5; flat[scan + 1] = -5;
+        flat[scan + N] = -5; flat[scan + N + 1] = -5;
+    } else if (v == 1006) { flat[scan] = -6; flat[scan + 1] = -6; }
+    else if (v == 1007) { flat[scan] = 6; flat[scan + 1] = 6; }
+}
+
+static void expand_bottom_c(int16_t *flat, long scan)
+{
+    int v = flat[scan];
+    if (v == 1008) {
+        flat[scan - 1] = 5; flat[scan] = 6; flat[scan + 1] = 5;
+    } else if (v == 1009) {
+        flat[scan - 1] = -5; flat[scan] = -7; flat[scan + 1] = -5;
+    } else if (v == 1006) {
+        if ((scan & 511) < D) { flat[scan] = -7; flat[scan + 1] = -7; }
+        else {
+            flat[scan - D] = -7; flat[scan - 3 * D] = -7; flat[scan] = 0;
+        }
+    } else if (v == 1007) {
+        if ((scan & 511) < D) { flat[scan] = 7; flat[scan + 1] = 7; }
+        else {
+            flat[scan - D] = 7; flat[scan - 3 * D] = 7; flat[scan] = 0;
+        }
+    }
+}
+
+void nhw_expand_sentinels_y(int16_t *flat, int count0, int dering)
+{
+    long scan, r;
+    int j, count = count0;
+    for (scan = 0; scan < 2L * SZ; scan++)
+        if (flat[scan] > 1000) expand_top_c(flat, scan, (int)(scan & 511));
+    for (r = 0; r < D; r++)
+        for (j = 0; j < D; j++) {
+            scan = 2L * SZ + r * N + j;
+            if (flat[scan] > 1000) expand_bottom_c(flat, scan);
+        }
+    for (r = 0; r < D; r++)
+        for (j = D; j < N; j++) {
+            int v;
+            scan = 2L * SZ + r * N + j;
+            v = flat[scan];
+            if (v > 1000) { expand_bottom_c(flat, scan); continue; }
+            if (dering && iabs(v) > 8 && iabs(v) < 16) {
+                if (j > D && j < N - 1) {
+                    if (iabs(rd0(flat, scan - 1)) < 8) count++;
+                    if (iabs(rd0(flat, scan + 1)) < 8) count++;
+                    if (iabs(rd0(flat, scan - N)) < 8) count++;
+                    if (iabs(rd0(flat, scan + N)) < 8) count++;
+                    if (count >= 2)
+                        flat[scan] = (int16_t)(v > 0 ? v + 1 : v - 1);
+                    count = 0;
+                }
+            }
+        }
+}
+
+/* marked-pixel smoothing in the x8 domain (models/decoder.py decode_y;
+ * decoder/nhw_decoder.c:850-867) */
+void nhw_smooth_marks(int16_t *jpeg, const int32_t *marks, long n_marks)
+{
+    long k;
+    for (k = 0; k < n_marks; k++) {
+        long rec = marks[k];
+        long scan = ((rec >> 8) << 10) + (rec & 255);
+        int res = lap8(jpeg, scan, N);
+        if (iabs(res) < 116)
+            jpeg[scan] = (int16_t)(((jpeg[scan] << 2)
+                + jpeg[scan - 1] + jpeg[scan + 1]
+                + jpeg[scan - N] + jpeg[scan + N] + 4) >> 3);
+    }
+}
+
+/* UV residue sentinels 5003-5006 (models/decoder.py _uv_sentinels;
+ * decoder/nhw_decoder.c:991-1069) */
+static void uv_handle(int16_t *jpeg, int16_t *proc, long scan, long tgt)
+{
+    int v = jpeg[scan];
+    if (v == 5005) {
+        proc[tgt] -= 4; proc[tgt + 1] -= 4; jpeg[scan] = 0;
+    } else if (v == 5006) {
+        proc[tgt] += 4; proc[tgt + 1] += 4; jpeg[scan] = 0;
+    } else if (v == 5003) { proc[tgt] -= 6; jpeg[scan] = 0; }
+    else if (v == 5004) { proc[tgt] += 6; jpeg[scan] = 0; }
+}
+
+void nhw_uv_sentinels(int16_t *jpeg, int16_t *proc)
+{
+    const long half = SZ >> 1;
+    long r, c, scan;
+    for (r = 0; r < 128; r++)
+        for (c = 128; c < D; c++) {
+            scan = r * D + c;
+            if (jpeg[scan] > 5000) uv_handle(jpeg, proc, scan, scan - 128);
+        }
+    for (r = 128; r < D; r++)
+        for (c = 0; c < D; c++) {
+            scan = r * D + c;
+            if (jpeg[scan] > 5000)
+                uv_handle(jpeg, proc, scan,
+                          scan - half - (c >= 128 ? 128 : 0));
+        }
+}
