@@ -19,13 +19,54 @@ The TPU-native equivalents of the reference's absent runtime
 
 from __future__ import annotations
 
+import atexit
 import dataclasses
 import json
+import os
 import time
 from concurrent.futures import ProcessPoolExecutor
 from pathlib import Path
 
 import numpy as np
+
+# persistent worker pools, keyed by size: codec batches are small enough
+# that re-forking a pool per call would dominate the wall time
+_POOLS: dict[int, ProcessPoolExecutor] = {}
+
+
+def _pool(workers: int | None) -> ProcessPoolExecutor:
+    n = workers or os.cpu_count() or 1
+    p = _POOLS.get(n)
+    if p is None:
+        import multiprocessing
+
+        # spawn: fork would duplicate whatever threads the parent happens
+        # to hold (jax, XLA); the pool is persistent so the startup cost
+        # amortizes away
+        p = _POOLS[n] = ProcessPoolExecutor(
+            max_workers=n, mp_context=multiprocessing.get_context("spawn"))
+    return p
+
+
+def _pool_map(workers: int | None, fn, jobs) -> list:
+    """Map over the persistent pool; a crashed worker (BrokenProcessPool)
+    gets one retry on a fresh pool — per-image Python exceptions are
+    already isolated inside the worker fn."""
+    from concurrent.futures.process import BrokenProcessPool
+
+    try:
+        return list(_pool(workers).map(fn, jobs))
+    except BrokenProcessPool:
+        n = workers or os.cpu_count() or 1
+        _POOLS.pop(n, None)
+        return list(_pool(workers).map(fn, jobs))
+
+
+@atexit.register
+def _shutdown_pools() -> None:
+    for p in _POOLS.values():
+        p.shutdown(wait=False, cancel_futures=True)
+    _POOLS.clear()
 
 
 @dataclasses.dataclass
@@ -68,6 +109,28 @@ def _decode_one(args):
         return idx, None, f"{type(e).__name__}: {e}"
 
 
+def _decode_one_shm(args):
+    """Decode into a SharedMemory slot: the (512,512,3) pixel output goes
+    through shared pages instead of a 786KB pickle per image."""
+    idx, data, shm_name = args
+    try:
+        from multiprocessing import shared_memory
+
+        import nhwcodec_tpu
+
+        rgb = nhwcodec_tpu.decode(data)
+        shm = shared_memory.SharedMemory(name=shm_name)
+        try:
+            out = np.ndarray((512, 512, 3), np.uint8,
+                             buffer=shm.buf[idx * 786432:(idx + 1) * 786432])
+            out[:] = rgb
+        finally:
+            shm.close()
+        return idx, True, None
+    except Exception as e:  # noqa: BLE001
+        return idx, False, f"{type(e).__name__}: {e}"
+
+
 def encode_batch(images: np.ndarray, quality: int = 20,
                  workers: int | None = None
                  ) -> tuple[list[bytes | None], BatchMetrics]:
@@ -81,8 +144,7 @@ def encode_batch(images: np.ndarray, quality: int = 20,
     if workers == 0 or len(images) == 1:
         results = map(_encode_one, jobs)
     else:
-        with ProcessPoolExecutor(max_workers=workers) as pool:
-            results = list(pool.map(_encode_one, jobs))
+        results = _pool_map(workers, _encode_one, jobs)
     for idx, data, err in results:
         if err is None:
             out[idx] = data
@@ -99,17 +161,31 @@ def decode_batch(bitstreams: list[bytes], workers: int | None = None
     out: list[np.ndarray | None] = [None] * len(bitstreams)
     m = BatchMetrics(images=len(bitstreams),
                      megapixels=len(bitstreams) * 512 * 512 / 1e6)
-    jobs = list(enumerate(bitstreams))
     if workers == 0 or len(bitstreams) == 1:
-        results = map(_decode_one, jobs)
-    else:
-        with ProcessPoolExecutor(max_workers=workers) as pool:
-            results = list(pool.map(_decode_one, jobs))
-    for idx, rgb, err in results:
-        if err is None:
-            out[idx] = rgb
-        else:
-            m.failures += 1
+        for idx, rgb, err in map(_decode_one, enumerate(bitstreams)):
+            if err is None:
+                out[idx] = rgb
+            else:
+                m.failures += 1
+        m.wall_s = time.perf_counter() - t0
+        return out, m
+
+    from multiprocessing import shared_memory
+
+    shm = shared_memory.SharedMemory(create=True,
+                                     size=len(bitstreams) * 786432)
+    try:
+        jobs = [(i, s, shm.name) for i, s in enumerate(bitstreams)]
+        for idx, ok, err in _pool_map(workers, _decode_one_shm, jobs):
+            if err is None and ok:
+                out[idx] = np.ndarray(
+                    (512, 512, 3), np.uint8,
+                    buffer=shm.buf[idx * 786432:(idx + 1) * 786432]).copy()
+            else:
+                m.failures += 1
+    finally:
+        shm.close()
+        shm.unlink()
     m.wall_s = time.perf_counter() - t0
     return out, m
 
