@@ -1092,6 +1092,21 @@ def encode_uv(plane_u8: np.ndarray, quality: int, component: int,
         _uv_ll_smooth(process)
 
     # LL2 byte-coding + exw continuation (2484-2515 / 2783-2813)
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        tree1_uv = np.zeros(4096, np.uint8)
+        exw_a = np.empty(3 * 4096, np.int32)
+        n_exw = ffi.new("long *")
+        lib.nhw_ll2_code_uv(
+            ffi.cast("int16_t *", process.ctypes.data),
+            ffi.cast("uint8_t *", tree1_uv.ctypes.data),
+            ffi.cast("int32_t *", exw_a.ctypes.data), n_exw)
+        quantize.offset_uv(process, ratio)
+        return process, tree1_uv, exw_a[: n_exw[0]].tolist()
+
     pf = process.reshape(-1)
     tree1_uv = np.zeros(4096, np.uint8)
     exw: list[int] = []

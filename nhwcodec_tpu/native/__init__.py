@@ -88,8 +88,15 @@ void nhw_decode_dc_planes(const uint8_t *ch, const uint8_t *hr,
 void nhw_mark_res256(const int16_t *process, int16_t *res256);
 void nhw_unmark_res256(int16_t *flat, int16_t *res256);
 void nhw_expand_sentinels_y(int16_t *flat, int count0, int dering);
+void nhw_finish_stream(const int32_t *positions, long n_pos,
+                       const int32_t *words, long n_words, int word_bits,
+                       uint8_t *res_out, long *n_res,
+                       uint8_t *bit_out, long *bit_len,
+                       uint8_t *word_out, long *n_word_out);
 void nhw_smooth_marks(int16_t *jpeg, const int32_t *marks, long n_marks);
 void nhw_uv_sentinels(int16_t *jpeg, int16_t *proc);
+void nhw_ll2_code_uv(int16_t *pf, uint8_t *tree1_uv,
+                     int32_t *exw, long *n_exw);
 void nhw_kernel_low4(const int32_t *res, const int32_t *cnt, int32_t *out,
                      int sharpness, int sharpn2);
 void nhw_sentinel_pass_low4(int16_t *jf, int32_t *kf, uint8_t *sharp,
@@ -134,8 +141,12 @@ def _load():
         ffi = FFI()
         ffi.cdef(_CDEF)
         src = (_HERE / "hotpass.c").read_text()
+        # -ffp-contract=off: -march=native would otherwise fuse the
+        # colorspace multiply-adds into FMAs, changing float roundings
+        # vs the reference (and the numpy fallback path)
         ffi.set_source("nhwcodec_tpu.native._hotpass", src,
-                       extra_compile_args=["-O2"])
+                       extra_compile_args=["-O3", "-march=native",
+                                           "-ffp-contract=off"])
         import sys
 
         build_dir = _HERE / "_build"

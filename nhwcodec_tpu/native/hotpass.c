@@ -3859,3 +3859,131 @@ void nhw_uv_sentinels(int16_t *jpeg, int16_t *proc)
                           scan - half - (c >= 128 ? 128 : 0));
         }
 }
+
+/* ------------------------------------------------------------------ */
+/* Residue stream finishing: marker dedupe + pair-delta pack + bit and
+ * word planes (ops/residue.py finish_stream; encoder/nhw_encoder.c:
+ * 1552-1635).                                                         */
+
+void nhw_finish_stream(const int32_t *positions, long n_pos,
+                       const int32_t *words, long n_words, int word_bits,
+                       uint8_t *res_out, long *n_res,
+                       uint8_t *bit_out, long *bit_len,
+                       uint8_t *word_out, long *n_word_out)
+{
+    static int32_t dd[SZ + 2 * D + 8];
+    static int32_t nm[SZ + 2 * D + 8];
+    long nd = 0, nnm = 0, o = 0, i, y, blk;
+
+    /* dedupe isolated 254 markers between ascending neighbours */
+    dd[nd++] = positions[0];
+    for (i = 1; i < n_pos - 1; i++) {
+        int v = positions[i];
+        if (v == D - 2) {
+            if (positions[i - 1] != D - 2 && positions[i + 1] != D - 2) {
+                if (positions[i - 1] <= positions[i + 1]) dd[nd++] = v;
+            } else dd[nd++] = v;
+        } else dd[nd++] = v;
+    }
+    dd[nd++] = positions[n_pos - 1];
+
+    /* pair-delta pack of the >>1 stream (last element only emitted when
+     * consumed by a pair — reference loop bound) */
+    res_out[o++] = (uint8_t)(dd[0] >> 1);
+    i = 1;
+    while (i < nd - 1) {
+        int d1 = (dd[i] >> 1) - (dd[i - 1] >> 1);
+        if (d1 >= 0 && d1 < 8) {
+            int d2 = (dd[i + 1] >> 1) - (dd[i] >> 1);
+            if (d2 >= 0 && d2 < 16) {
+                res_out[o++] = (uint8_t)(128 + (d1 << 4) + d2);
+                i += 2;
+                continue;
+            }
+        }
+        res_out[o++] = (uint8_t)(dd[i] >> 1);
+        i += 1;
+    }
+    *n_res = o;
+
+    /* LSB bit plane over non-marker positions */
+    for (i = 0; i < nd; i++)
+        if (dd[i] != D - 2) nm[nnm] = dd[i], nnm++;
+    y = nnm >> 3;
+    for (blk = 0; blk < y + 1; blk++) {
+        int b = 0, k;
+        for (k = 0; k < 8; k++) {
+            long idx = blk * 8 + k;
+            b = (b << 1) | (idx < nnm ? (nm[idx] & 1) : 0);
+        }
+        bit_out[blk] = (uint8_t)b;
+    }
+    *bit_len = y + 1;
+
+    /* word plane: 1- or 2-bit entries */
+    y = n_words >> 3;
+    if (word_bits == 1) {
+        for (blk = 0; blk < y + 1; blk++) {
+            int b = 0, k;
+            for (k = 0; k < 8; k++) {
+                long idx = blk * 8 + k;
+                b = (b << 1) | (idx < n_words ? (words[idx] & 1) : 0);
+            }
+            word_out[blk] = (uint8_t)b;
+        }
+        *n_word_out = y + 1;
+    } else {
+        for (blk = 0; blk < y + 1; blk++) {
+            int b = 0, k;
+            for (k = 0; k < 4; k++) {
+                long idx = blk * 8 + k;
+                b = (b << 2) | (idx < n_words ? (words[idx] & 3) : 0);
+            }
+            word_out[2 * blk] = (uint8_t)b;
+            b = 0;
+            for (k = 4; k < 8; k++) {
+                long idx = blk * 8 + k;
+                b = (b << 2) | (idx < n_words ? (words[idx] & 3) : 0);
+            }
+            word_out[2 * blk + 1] = (uint8_t)b;
+        }
+        *n_word_out = 2 * (y + 1);
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* UV LL2 byte-coding + exw continuation (models/encoder.py encode_uv;
+ * encoder/nhw_encoder.c:2484-2515 U / 2783-2813 V)                    */
+
+void nhw_ll2_code_uv(int16_t *pf, uint8_t *tree1_uv,
+                     int32_t *exw, long *n_exw)
+{
+    long ne = 0, a_out = 0;
+    int r, j;
+    for (r = 0; r < 64; r++)
+        for (j = 0; j < 64; j++) {
+            long idx = (long)r * D + j;
+            int scan = pf[idx];
+            if (scan > 255 && (j > 0 || r > 0)) {
+                exw[ne++] = r;
+                exw[ne++] = j + 128;
+                exw[ne++] = scan - 255 < 255 ? scan - 255 : 255;
+                tree1_uv[a_out] = tree1_uv[a_out - 1];
+                a_out++;
+                pf[idx] = 0;
+            } else if (scan < 0 && (j > 0 || r > 0)) {
+                exw[ne++] = r;
+                exw[ne++] = j;
+                exw[ne++] = -(scan > -255 ? scan : -255);
+                tree1_uv[a_out] = tree1_uv[a_out - 1];
+                a_out++;
+                pf[idx] = 0;
+            } else {
+                scan = scan > 255 ? 255 : (scan < 0 ? 0 : scan);
+                tree1_uv[a_out] = (uint8_t)(scan & 254);
+                a_out++;
+                pf[idx] = 0;
+            }
+        }
+    *n_exw = ne;
+}

@@ -500,6 +500,30 @@ def _pack_bits(vals: list[int], bits: int) -> tuple[np.ndarray, int]:
 def finish_stream(positions: list[int], words: list[int], word_bits: int):
     """Marker dedupe + delta pack + bit/word planes; returns
     (res uint8, bit uint8, bit_len, word uint8) — the file sections."""
+    from nhwcodec_tpu import native
+
+    if native.available() and positions:
+        lib = native._load()
+        ffi = native.ffi()
+        pos = np.asarray(positions, np.int32)
+        wrd = np.asarray(words, np.int32) if words \
+            else np.empty(0, np.int32)
+        res_out = np.empty(pos.size + 8, np.uint8)
+        bit_out = np.empty((pos.size >> 3) + 8, np.uint8)
+        word_out = np.empty(2 * ((wrd.size >> 3) + 8), np.uint8)
+        n_res = ffi.new("long *")
+        bit_len = ffi.new("long *")
+        n_word = ffi.new("long *")
+        lib.nhw_finish_stream(
+            ffi.cast("const int32_t *", pos.ctypes.data), pos.size,
+            ffi.cast("const int32_t *", wrd.ctypes.data), wrd.size,
+            word_bits,
+            ffi.cast("uint8_t *", res_out.ctypes.data), n_res,
+            ffi.cast("uint8_t *", bit_out.ctypes.data), bit_len,
+            ffi.cast("uint8_t *", word_out.ctypes.data), n_word)
+        return (res_out[: n_res[0]].copy(), bit_out[: bit_len[0]].copy(),
+                int(bit_len[0]), word_out[: n_word[0]].copy())
+
     deduped = dedupe_markers(positions)
     packed = delta_pair_pack(deduped)
     non_marker = [v for v in deduped if v != D - 2]
