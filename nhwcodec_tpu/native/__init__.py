@@ -35,15 +35,16 @@ void nhw_offset_uv(int16_t *pf, int m2);
 void nhw_select_codes(uint8_t *s, long *sel1_out, long *sel2_out);
 void nhw_cap_long_runs(uint8_t *s);
 void nhw_merge_crossing(uint8_t *s);
-void nhw_decode_y(const uint8_t *bits, const int32_t *nt1,
+int nhw_decode_y(const uint8_t *bits, const int32_t *nt1,
+                 const int32_t *nt2, const int32_t *vals,
+                 const int32_t *rles, const uint8_t *sel1,
+                 const uint8_t *sel2, int zone_on, const int8_t *extra,
+                 int16_t *out, long p1, long n_bits, long n_vals,
+                 long n_sel1, long n_sel2);
+int nhw_decode_uv(const uint8_t *bits, const int32_t *nt1,
                   const int32_t *nt2, const int32_t *vals,
-                  const int32_t *rles, const uint8_t *sel1,
-                  const uint8_t *sel2, int zone_on, const int8_t *extra,
-                  int16_t *out, long p1);
-void nhw_decode_uv(const uint8_t *bits, const int32_t *nt1,
-                   const int32_t *nt2, const int32_t *vals,
-                   const int32_t *rles, const int8_t *extra,
-                   int16_t *out, long p1);
+                  const int32_t *rles, const int8_t *extra,
+                  int16_t *out, long p1, long n_bits, long n_vals);
 void nhw_kernel_simple(const int32_t *res, const int32_t *cnt, int32_t *out);
 void nhw_pair_walk_simple(int16_t *jf, const int32_t *kf);
 void nhw_quantize_band(int16_t *jf, int16_t *pf, int low4, int m1, int part,
@@ -82,9 +83,9 @@ void nhw_down_53(const int16_t *X, long rows, long n,
                  int16_t *low, int16_t *high);
 void nhw_down_vi(const int16_t *X, long rows, long n,
                  int16_t *low, int16_t *high);
-void nhw_decode_dc_planes(const uint8_t *ch, const uint8_t *hr,
-                          const int32_t *uv_off, int use_hr, int mode,
-                          uint8_t *rc);
+int nhw_decode_dc_planes(const uint8_t *ch, const uint8_t *hr,
+                         const int32_t *uv_off, int use_hr, int mode,
+                         uint8_t *rc, long n_ch, long n_hr);
 void nhw_mark_res256(const int16_t *process, int16_t *res256);
 void nhw_unmark_res256(int16_t *flat, int16_t *res256);
 void nhw_expand_sentinels_y(int16_t *flat, int count0, int dering);

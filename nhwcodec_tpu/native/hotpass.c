@@ -788,9 +788,13 @@ void nhw_merge_crossing(uint8_t *s)
 #define WVLT_E 123
 
 static long next_symbol(const uint8_t *bits, long pos, int zone_on,
-                        const int32_t *nt1, const int32_t *nt2, int *sym)
+                        const int32_t *nt1, const int32_t *nt2, int *sym,
+                        long n_bits)
 {
     int tr, size, dec;
+    /* max symbol footprint is well under 64 bits; a truncated or corrupt
+     * stream fails cleanly instead of reading past the buffer */
+    if (pos + 64 > n_bits) return -1;
     if (zone_on) {
         int v = 0, k;
         for (k = 0; k < 9; k++) v = (v << 1) | bits[pos + k];
@@ -865,11 +869,12 @@ static long next_symbol(const uint8_t *bits, long pos, int zone_on,
     return pos + size;
 }
 
-void nhw_decode_y(const uint8_t *bits, const int32_t *nt1,
-                  const int32_t *nt2, const int32_t *vals,
-                  const int32_t *rles, const uint8_t *sel1,
-                  const uint8_t *sel2, int zone_on, const int8_t *extra,
-                  int16_t *out, long p1)
+int nhw_decode_y(const uint8_t *bits, const int32_t *nt1,
+                 const int32_t *nt2, const int32_t *vals,
+                 const int32_t *rles, const uint8_t *sel1,
+                 const uint8_t *sel2, int zone_on, const int8_t *extra,
+                 int16_t *out, long p1, long n_bits, long n_vals,
+                 long n_sel1, long n_sel2)
 {
     long pos = 0, e = 0;
     int mem = 0, mem2 = 0, nhw_ac1 = 0;
@@ -878,7 +883,10 @@ void nhw_decode_y(const uint8_t *bits, const int32_t *nt1,
 
     for (;;) {
         int dec, word, rle;
-        pos = next_symbol(bits, pos, zone_on, nt1, nt2, &dec);
+        if (e < 0 || e > p1 + 200 || t >= n_sel1 || t2 >= n_sel2)
+            return -1;
+        pos = next_symbol(bits, pos, zone_on, nt1, nt2, &dec, n_bits);
+        if (pos < 0 || dec < 0 || dec >= n_vals) return -1;
         word = vals[dec];
         rle = rles[dec];
 
@@ -888,7 +896,7 @@ void nhw_decode_y(const uint8_t *bits, const int32_t *nt1,
                 if (e >= 5 && !(out[e-2] || out[e-3] || out[e-4]
                                 || out[e-5])) {
                     out[e] = sel2[t2] ? 11 : -11; t2++; e++;
-                } else if (rle >= 4 && !out[e-2]) {
+                } else if (rle >= 4 && e >= 2 && !out[e-2]) {
                     out[e] = sel2[t2] ? 11 : -11; t2++; e++;
                 }
                 mem2 = 0;
@@ -939,17 +947,20 @@ void nhw_decode_y(const uint8_t *bits, const int32_t *nt1,
         }
         if (e >= p1 - 1) break;
     }
+    return 0;
 }
 
-void nhw_decode_uv(const uint8_t *bits, const int32_t *nt1,
-                   const int32_t *nt2, const int32_t *vals,
-                   const int32_t *rles, const int8_t *extra,
-                   int16_t *out, long p1)
+int nhw_decode_uv(const uint8_t *bits, const int32_t *nt1,
+                  const int32_t *nt2, const int32_t *vals,
+                  const int32_t *rles, const int8_t *extra,
+                  int16_t *out, long p1, long n_bits, long n_vals)
 {
     long pos = 0, e = 0;
     for (;;) {
         int dec, word;
-        pos = next_symbol(bits, pos, 0, nt1, nt2, &dec);
+        if (e < 0 || e > p1 + 200) return -1;
+        pos = next_symbol(bits, pos, 0, nt1, nt2, &dec, n_bits);
+        if (pos < 0 || dec < 0 || dec >= n_vals) return -1;
         word = vals[dec];
         if (word == 0x80) {
             e += rles[dec];
@@ -967,6 +978,7 @@ void nhw_decode_uv(const uint8_t *bits, const int32_t *nt1,
         else { out[e] = word - 131; e++; }
         if (e >= p1 - 1) break;
     }
+    return 0;
 }
 
 /* ------------------------------------------------------------------ */
@@ -3524,20 +3536,25 @@ static long dc3byte(const uint8_t *ch, long i, uint8_t *rc, long j)
     return i;
 }
 
-void nhw_decode_dc_planes(const uint8_t *ch, const uint8_t *hr,
-                          const int32_t *uv_off, int use_hr, int mode,
-                          uint8_t *rc)
+int nhw_decode_dc_planes(const uint8_t *ch, const uint8_t *hr,
+                         const int32_t *uv_off, int use_hr, int mode,
+                         uint8_t *rc, long n_ch, long n_hr)
 {
     const long Y_LL2 = 16384;
     long i = 1, a = 0, j = 1, end;
     int k_, run, low, c, v;
+    if (n_ch < 1) return -1;
     rc[0] = ch[0];
 
     if (mode == 0) {
         while (j < Y_LL2) {
+            if (i >= n_ch) return -1;
             c = ch[i];
             if (c >= 128) {
-                if (use_hr) { rc[j] = hr[a]; j += 1; a += 1; }
+                if (use_hr) {
+                    if (a >= n_hr) return -1;
+                    rc[j] = hr[a]; j += 1; a += 1;
+                }
                 rc[j] = (uint8_t)(((c - 128) << 1) & 255);
                 j += 1;
             } else if (c < 16) {
@@ -3571,14 +3588,21 @@ void nhw_decode_dc_planes(const uint8_t *ch, const uint8_t *hr,
                 j += 1;
                 rc[j] = (uint8_t)((((c & 7) << 1) - 8 + rc[j - 1]) & 255);
                 j += 1;
-            } else { i = dc3byte(ch, i, rc, j); j += 3; }
+            } else {
+                if (i + 1 >= n_ch) return -1;
+                i = dc3byte(ch, i, rc, j); j += 3;
+            }
             i += 1;
         }
     } else if (mode == 1) {
         while (j < Y_LL2) {
+            if (i >= n_ch) return -1;
             c = ch[i];
             if (c >= 128) {
-                if (use_hr) { rc[j] = hr[a]; j += 1; a += 1; }
+                if (use_hr) {
+                    if (a >= n_hr) return -1;
+                    rc[j] = hr[a]; j += 1; a += 1;
+                }
                 rc[j] = (uint8_t)(((c - 128) << 1) & 255);
                 j += 1;
             } else if (c < 32) {
@@ -3595,35 +3619,48 @@ void nhw_decode_dc_planes(const uint8_t *ch, const uint8_t *hr,
                 j += 1;
                 rc[j] = (uint8_t)((((c & 7) << 1) - 8 + rc[j - 1]) & 255);
                 j += 1;
-            } else { i = dc3byte(ch, i, rc, j); j += 3; }
+            } else {
+                if (i + 1 >= n_ch) return -1;
+                i = dc3byte(ch, i, rc, j); j += 3;
+            }
             i += 1;
         }
     } else {
         while (j < Y_LL2) {
+            if (i >= n_ch) return -1;
             c = ch[i];
             if (c >= 128) {
-                if (use_hr) { rc[j] = hr[a]; j += 1; a += 1; }
+                if (use_hr) {
+                    if (a >= n_hr) return -1;
+                    rc[j] = hr[a]; j += 1; a += 1;
+                }
                 rc[j] = (uint8_t)(((c - 128) << 1) & 255);
                 j += 1;
             } else if (c < 64) {
                 run = c & 63;
                 v = rc[j - 1];
                 for (k_ = 0; k_ < run + 2; k_++) { rc[j] = v; j += 1; }
-            } else { i = dc3byte(ch, i, rc, j); j += 3; }
+            } else {
+                if (i + 1 >= n_ch) return -1;
+                i = dc3byte(ch, i, rc, j); j += 3;
+            }
             i += 1;
         }
     }
 
+    if (i >= n_ch) return -1;
     rc[Y_LL2] = ch[i];
     i += 1;
 
     j = Y_LL2 + 1;
     end = Y_LL2 + 8192;
     while (j < end) {
+        if (i >= n_ch) return -1;
         c = ch[i];
         if (c >= 192) {
             c -= 192;
             k_ = c >> 2;
+            if (k_ > 7) return -1;  /* uv_off has 8 pairs */
             rc[j] = (uint8_t)((uv_off[2 * k_] + rc[j - 1]) & 255);
             j += 1;
             rc[j] = (uint8_t)((uv_off[2 * k_ + 1] + rc[j - 1]) & 255);
@@ -3672,6 +3709,7 @@ void nhw_decode_dc_planes(const uint8_t *ch, const uint8_t *hr,
         }
         i += 1;
     }
+    return 0;
 }
 
 /* ------------------------------------------------------------------ */

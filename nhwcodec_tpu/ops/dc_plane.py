@@ -43,12 +43,14 @@ def decode_dc_planes(
         off = np.ascontiguousarray(T.UV_SMALL_DC_OFFSET.reshape(-1),
                                    np.int32)
         rc = np.zeros(96 * T.IM_DIM + 1, np.uint8)
-        lib.nhw_decode_dc_planes(
+        err = lib.nhw_decode_dc_planes(
             ffi.cast("const uint8_t *", ch.ctypes.data),
             ffi.cast("const uint8_t *", hrc.ctypes.data),
             ffi.cast("const int32_t *", off.ctypes.data),
             1 if quality > T.LOW5 else 0, res_high & 3,
-            ffi.cast("uint8_t *", rc.ctypes.data))
+            ffi.cast("uint8_t *", rc.ctypes.data), ch.size, hrc.size)
+        if err != 0:
+            raise ValueError("corrupt or truncated res_ch stream")
         if quality > T.LOW5:
             u_bits = np.unpackbits(res_U_64)[: _UV_LL2]
             v_bits = np.unpackbits(res_V_64)[: _UV_LL2]

@@ -231,7 +231,7 @@ def decode_y(
         s2 = np.ascontiguousarray(np.array(sel2 + [0] * 8, np.uint8))
         ex = np.array(_EXTRA, np.int8)
         out = np.zeros(p1 + 512, np.int16)
-        lib.nhw_decode_y(
+        rc = lib.nhw_decode_y(
             ffi.cast("uint8_t *", bits.ctypes.data),
             ffi.cast("int32_t *", nt1.ctypes.data),
             ffi.cast("int32_t *", nt2.ctypes.data),
@@ -241,7 +241,10 @@ def decode_y(
             ffi.cast("uint8_t *", s2.ctypes.data),
             1 if zone_on else 0,
             ffi.cast("int8_t *", ex.ctypes.data),
-            ffi.cast("int16_t *", out.ctypes.data), p1)
+            ffi.cast("int16_t *", out.ctypes.data), p1,
+            bits.size, va.size, s1.size, s2.size)
+        if rc != 0:
+            raise ValueError("corrupt or truncated Y symbol stream")
         return out[:p1].copy()
 
     out = [0] * (p1 + 512)
@@ -388,14 +391,17 @@ def decode_uv(
         rl = np.array(rles, np.int32)
         ex = np.array(_EXTRA, np.int8)
         out = np.zeros(p1 + 512, np.int16)
-        lib.nhw_decode_uv(
+        rc = lib.nhw_decode_uv(
             ffi.cast("uint8_t *", bits.ctypes.data),
             ffi.cast("int32_t *", nt1.ctypes.data),
             ffi.cast("int32_t *", nt2.ctypes.data),
             ffi.cast("int32_t *", va.ctypes.data),
             ffi.cast("int32_t *", rl.ctypes.data),
             ffi.cast("int8_t *", ex.ctypes.data),
-            ffi.cast("int16_t *", out.ctypes.data), p1)
+            ffi.cast("int16_t *", out.ctypes.data), p1,
+            bits.size, va.size)
+        if rc != 0:
+            raise ValueError("corrupt or truncated UV symbol stream")
         return out[:2 * T.IM_SIZE].copy()
 
     out = [0] * (p1 + 512)
