@@ -145,27 +145,40 @@ def _load():
         # -ffp-contract=off: -march=native would otherwise fuse the
         # colorspace multiply-adds into FMAs, changing float roundings
         # vs the reference (and the numpy fallback path)
-        ffi.set_source("nhwcodec_tpu.native._hotpass", src,
-                       extra_compile_args=["-O3", "-march=native",
-                                           "-ffp-contract=off"])
-        import sys
+        asan = os.environ.get("NHW_NATIVE_ASAN", "0") == "1"
+        if asan:
+            # memory-safety audit build (tests/test_sanitizers.py);
+            # needs LD_PRELOAD=libasan.so in the running process
+            stem = "_hotpass_asan"
+            compile_args = ["-O1", "-g", "-fsanitize=address",
+                            "-fno-omit-frame-pointer",
+                            "-ffp-contract=off"]
+            link_args = ["-fsanitize=address"]
+        else:
+            stem = "_hotpass"
+            compile_args = ["-O3", "-march=native", "-ffp-contract=off"]
+            link_args = []
+        ffi.set_source(f"nhwcodec_tpu.native.{stem}", src,
+                       extra_compile_args=compile_args,
+                       extra_link_args=link_args)
 
-        build_dir = _HERE / "_build"
+        build_dir = _HERE / ("_build_asan" if asan else "_build")
         build_dir.mkdir(exist_ok=True)
         so_name = None
-        for p in (_HERE).glob("_hotpass*.so"):
+        for p in (_HERE).glob(f"{stem}.*.so"):
             so_name = p
             break
         if so_name is None:
             ffi.compile(tmpdir=str(build_dir), verbose=False)
             import shutil
 
-            for p in build_dir.glob("nhwcodec_tpu/native/_hotpass*.so"):
+            for p in build_dir.glob(f"nhwcodec_tpu/native/{stem}*.so"):
                 shutil.copy(p, _HERE / p.name)
-        from nhwcodec_tpu.native import _hotpass  # type: ignore
+        import importlib
 
-        _lib = _hotpass.lib
-        _ffi = _hotpass.ffi
+        mod = importlib.import_module(f"nhwcodec_tpu.native.{stem}")
+        _lib = mod.lib
+        _ffi = mod.ffi
         return _lib
     except Exception:  # noqa: BLE001 — fall back to pure Python
         return None

@@ -42,7 +42,10 @@ def decode_dc_planes(
         hrc = np.ascontiguousarray(highres_comp, np.uint8)
         off = np.ascontiguousarray(T.UV_SMALL_DC_OFFSET.reshape(-1),
                                    np.int32)
-        rc = np.zeros(96 * T.IM_DIM + 1, np.uint8)
+        # +64 slack: a corrupt stream can legally reach the loop bound
+        # with a multi-write code and overshoot by a few bytes; valid
+        # streams never write past 96*IM_DIM+1 (the returned view)
+        rc = np.zeros(96 * T.IM_DIM + 1 + 64, np.uint8)
         err = lib.nhw_decode_dc_planes(
             ffi.cast("const uint8_t *", ch.ctypes.data),
             ffi.cast("const uint8_t *", hrc.ctypes.data),
@@ -57,7 +60,7 @@ def decode_dc_planes(
             rc[_Y_LL2:_Y_LL2 + _UV_LL2] += u_bits << 1
             start_v = _Y_LL2 + _UV_LL2
             rc[start_v:start_v + _UV_LL2] += v_bits << 1
-        return rc
+        return rc[: 96 * T.IM_DIM + 1]
 
     ch_list = res_ch.tolist()
     hr = highres_comp.tolist()

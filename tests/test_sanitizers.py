@@ -92,3 +92,45 @@ def test_decoder_known_findings_only_under_asan(asan_bins, fixture_dir,
             assert "misaligned address" in line, line
         if "ERROR: AddressSanitizer" in line:
             assert "heap-buffer-overflow" in line, line
+
+
+def test_native_runtime_clean_under_asan(tmp_path):
+    """Our own C runtime (hotpass.c) runs the full codec + a fuzz subset
+    with zero AddressSanitizer findings — unlike the reference, whose OOB
+    reads the two tests above document."""
+    import shutil
+
+    libasan = subprocess.run(
+        ["gcc", "-print-file-name=libasan.so"],
+        capture_output=True, text=True).stdout.strip()
+    if not libasan or not Path(libasan).exists():
+        pytest.skip("libasan not available")
+
+    code = """
+import numpy as np
+import nhwcodec_tpu
+from nhwcodec_tpu import native
+from nhwcodec_tpu.utils import fixtures
+assert native.available(), "ASAN build failed"
+rng = np.random.default_rng(3)
+for q in (8, 20, 23):
+    data = nhwcodec_tpu.encode(fixtures.texture_noise(), q)
+    nhwcodec_tpu.decode(data)
+    for _ in range(25):
+        buf = bytearray(data)
+        buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        try:
+            nhwcodec_tpu.decode(bytes(buf))
+        except Exception:
+            pass
+print("ASAN-CLEAN")
+"""
+    env = dict(os.environ, NHW_NATIVE_ASAN="1", LD_PRELOAD=libasan,
+               ASAN_OPTIONS="detect_leaks=0")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "ASAN-CLEAN" in r.stdout
+    assert "AddressSanitizer" not in r.stderr
