@@ -436,13 +436,144 @@ def dead_tail_byte_positions(data: bytes) -> set[int]:
     return dead
 
 
+def _res_ch_file_offset(data: bytes) -> tuple[int, int, int, int]:
+    """(offset, length, quality, res_high) of the res_ch section."""
+    import struct as _s
+
+    res_high = data[0]
+    q = data[1]
+    pos = 2
+    size_tree1, size_tree2 = _s.unpack_from("<HH", data, pos)
+    pos += 12  # + size_data1/size_data2
+    tree_end, exw_end = _s.unpack_from("<HH", data, pos)
+    pos += 4
+    res1_len = res3_len = res3_bit = res4_len = res1_bit = 0
+    res5_len = res5_bit = res6_len = res6_bit = char_res1 = qset3 = 0
+    hr_len = 0
+    if q > T.LOW8:
+        res1_len = _s.unpack_from("<H", data, pos)[0]
+        pos += 2
+    if q >= T.LOW1:
+        res3_len, res3_bit = _s.unpack_from("<HH", data, pos)
+        pos += 4
+    if q > T.LOW3:
+        res4_len = _s.unpack_from("<H", data, pos)[0]
+        pos += 2
+    if q > T.LOW8:
+        res1_bit = _s.unpack_from("<H", data, pos)[0]
+        pos += 2
+    if q >= T.HIGH1:
+        res5_len, res5_bit = _s.unpack_from("<HH", data, pos)
+        pos += 4
+    if q > T.HIGH1:
+        res6_len = _s.unpack_from("<I", data, pos)[0]
+        pos += 4
+        res6_bit, char_res1 = _s.unpack_from("<HH", data, pos)
+        pos += 4
+    if q > T.HIGH2:
+        qset3 = _s.unpack_from("<H", data, pos)[0]
+        pos += 2
+    sel1, sel2 = _s.unpack_from("<HH", data, pos)
+    pos += 4
+    if q > T.LOW5:
+        hr_len = _s.unpack_from("<H", data, pos)[0]
+        pos += 2
+    end_ch_res = _s.unpack_from("<H", data, pos)[0]
+    pos += 2
+    pos += size_tree1 + size_tree2 + exw_end
+    if q > T.LOW8:
+        pos += res1_len + 2 * res1_bit
+    if q > T.LOW3:
+        pos += res4_len
+    if q >= T.LOW1:
+        pos += res3_len + 3 * res3_bit
+    if q >= T.HIGH1:
+        pos += res5_len + 2 * res5_bit
+    if q > T.HIGH1:
+        pos += res6_len + 2 * res6_bit + 2 * char_res1
+    if q > T.HIGH2:
+        pos += 4 * qset3
+    pos += sel1 + sel2
+    if q > T.LOW5:
+        pos += 4 * T.IM_DIM + hr_len  # res_U_64 + res_V_64 + highres
+    return pos, end_ch_res, q, res_high
+
+
+def discarded_escape_positions(data: bytes) -> set[int]:
+    """File offsets of Y-section escape literals whose decoded value is
+    discarded: a q>LOW5 escape entering the DC automaton at j==16383
+    writes its literal into rc[16384], which the next statement
+    overwrites with the following stream byte
+    (decoder/nhw_decoder.c:1876-1880).  The reference encoder sources
+    these literals from its out-of-bounds tree1-tail read, so the low 7
+    bits are uninitialized-heap-dependent; only the escape flag (bit 7)
+    is live."""
+    try:
+        off, n, q, res_high = _res_ch_file_offset(data)
+    except Exception:  # noqa: BLE001 — malformed header: nothing to mask
+        return set()
+    if q <= T.LOW5 or n == 0:
+        return set()
+    ch = data[off: off + n]
+    mode = res_high & 3
+    out: set[int] = set()
+    i, j = 1, 1
+    while j < 16384 and i < len(ch):
+        c = ch[i]
+        if c >= 128:
+            if j == 16383:
+                out.add(off + i)
+            j += 2
+            i += 1
+        elif mode == 2:
+            if c < 64:
+                j += (c & 63) + 2
+                i += 1
+            else:
+                i += 2
+                j += 3
+        elif mode == 0:
+            if c < 16:
+                j += ((c >> 3) & 1) + 2
+                low = c & 7
+                j += 2 if low in (2, 3, 4, 5) else (1 if low else 0)
+                i += 1
+            elif c < 64:
+                j += 2
+                i += 1
+            else:
+                i += 2
+                j += 3
+        else:  # mode == 1
+            if c < 32:
+                j += ((c >> 2) & 7) + 2
+                if c & 3:
+                    j += 1
+                i += 1
+            elif c < 64:
+                j += 2
+                i += 1
+            else:
+                i += 2
+                j += 3
+    return out
+
+
 def equal_modulo_dead_bits(a: bytes, b: bytes) -> bool:
     """True when two .nhw files are byte-identical except in the
-    uninitialized padding tail bytes (see dead_tail_byte_positions)."""
+    uninitialized padding tail bytes (see dead_tail_byte_positions) and
+    the discarded boundary-escape literals (see
+    discarded_escape_positions, where only bit 7 is compared)."""
     if len(a) != len(b):
         return False
     if a == b:
         return True
     dead = dead_tail_byte_positions(a)
-    return all(x == y or i in dead
-               for i, (x, y) in enumerate(zip(a, b)))
+    esc = discarded_escape_positions(a)
+    for i, (x, y) in enumerate(zip(a, b)):
+        if x == y or i in dead:
+            continue
+        if i in esc and (x & 0x80) == (y & 0x80):
+            continue
+        return False
+    return True

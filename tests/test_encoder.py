@@ -142,3 +142,30 @@ def test_pure_python_path_matches(fixture_dir):
                          capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, out.stderr
     assert "OK" in out.stdout
+
+
+@requires_oracle
+@pytest.mark.parametrize("name,q", [("gradient", 18), ("texture", 18),
+                                    ("texture", 19)])
+def test_boundary_escape_dead_bytes(fixture_dir, name, q, tmp_path):
+    """q>LOW5 escapes entering the DC automaton at j==16383 carry a
+    literal whose decoded value is overwritten (nhw_decoder.c:1876-1880);
+    the reference sources it from uninitialized heap.  The zero-filled
+    deterministic oracle emits 128 there while we emit the live-heap
+    alias value — equal_modulo_dead_bits masks exactly bit 0..6 of those
+    positions (container.discarded_escape_positions)."""
+    import nhwcodec_tpu
+
+    src = fixture_dir / f"{name}.bmp"
+    nhw = tmp_path / "det.nhw"
+    oracle.encode_det(src, nhw, q)
+    ref = nhw.read_bytes()
+    rgb = bmp_io.read_bmp512(src)
+    mine = nhwcodec_tpu.encode(rgb, q)
+    assert container.equal_modulo_dead_bits(mine, ref)
+    # the masked positions decode to identical pixels via the reference
+    p_mine = tmp_path / "mine.nhw"
+    p_mine.write_bytes(mine)
+    oracle.decode(p_mine, tmp_path / "a.bmp")
+    oracle.decode(nhw, tmp_path / "b.bmp")
+    assert (tmp_path / "a.bmp").read_bytes() == (tmp_path / "b.bmp").read_bytes()
