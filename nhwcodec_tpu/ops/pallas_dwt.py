@@ -86,3 +86,127 @@ def synth_level_pallas(block: jnp.ndarray, interpret: bool = False
         out_shape=jax.ShapeDtypeStruct((b, n, n), jnp.int16),
         interpret=interpret,
     )(block)
+
+
+# ---------------------------------------------------------------------------
+# analysis (encoder) level — the inverse composition of synth_level_pallas
+# (encoder/filters.c:55-386 composed per wavelet_filterbank.c:52-302)
+
+
+def _shift_down(a):
+    """a[k-1] along the sublane axis (zero row in front)."""
+    return jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]], axis=0)
+
+
+def _deinterleave(x, m):
+    """(2m, W) -> even rows (m, W), odd rows (m, W): sublane reshape."""
+    x2 = x.reshape(m, 2, x.shape[1])
+    return x2[:, 0, :], x2[:, 1, :]
+
+
+def _low_raw_cols(Xe, Xo, m):
+    """Un-normalized lowpass moments along the sublane axis
+    (encoder/filters.c:367-384)."""
+    first = 6 * Xe[:1] + 4 * Xo[:1] - 2 * Xe[1:2]
+    mid = (6 * Xe[1:m - 1] + 2 * (Xo[0:m - 2] + Xo[1:m - 1])
+           - (Xe[0:m - 2] + Xe[2:m]))
+    last = (6 * Xe[m - 1:] + 2 * (Xo[m - 2:m - 1] + Xo[m - 1:])
+            - (Xe[m - 2:m - 1] + Xe[m - 1:]))
+    return jnp.concatenate([first, mid, last], axis=0)
+
+
+def _high_adj_cols(Xe, Xo, m):
+    """Parity-adjusted highpass moments r[k], k<m-1
+    (encoder/filters.c:62-81)."""
+    a = Xe[:m - 1] + Xe[1:]
+    prev_odd = _shift_down(a & 1)
+    k_odd = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0) & 1
+    adj = a + ((a & 1) & prev_odd & k_odd)
+    return Xo[:m - 1] - (adj >> 1)
+
+
+def _round_pos(r, add, shift):
+    return jnp.where(r >= 0, (r + add) >> shift, -((-r + add) >> shift))
+
+
+def _down_cols_iv(x, m):
+    """downfilter53IV (raw moments) along the sublane axis."""
+    Xe, Xo = _deinterleave(x, m)
+    low = _wrap16(_low_raw_cols(Xe, Xo, m))
+    h = 2 * Xo[:m - 1] - (Xe[:m - 1] + Xe[1:])
+    hl = (Xo[m - 1:] - Xe[m - 1:]) << 1
+    high = _wrap16(jnp.concatenate([h, hl], axis=0))
+    return low, high
+
+
+def _down_cols_53(x, m):
+    """Plain downfilter53 (/16 low, /2 high) along the sublane axis."""
+    Xe, Xo = _deinterleave(x, m)
+    low = _wrap16(_round_pos(_low_raw_cols(Xe, Xo, m), 8, 4))
+    rh = _high_adj_cols(Xe, Xo, m)
+    h = jnp.where(rh > 0, (rh + 1) >> 1, rh >> 1)
+    hl = (Xo[m - 1:] - Xe[m - 1:] + 1) >> 1
+    high = _wrap16(jnp.concatenate([h, hl], axis=0))
+    return low, high
+
+
+def _down_cols_vi(x, m):
+    """downfilter53VI (/64 low with the error-feedback dither as a
+    shifted local term, /8 high) along the sublane axis."""
+    Xe, Xo = _deinterleave(x, m)
+    r = _low_raw_cols(Xe, Xo, m)
+    rm = jnp.abs(r) & 63
+    mag = jnp.where(rm < 32, rm >> 2, -((64 - rm) >> 2))
+    d = jnp.where(r >= 0, mag, -mag)
+    low = _wrap16(_round_pos(_wrap16(r + _shift_down(d)), 32, 6))
+    rh = _high_adj_cols(Xe, Xo, m)
+    h = _round_pos(rh, 4, 3)
+    hl = _wrap16(Xo[m - 1:] - Xe[m - 1:]) >> 3
+    high = _wrap16(jnp.concatenate([h, hl], axis=0))
+    return low, high
+
+
+def _analysis_level_kernel(plane_ref, out_ref, *, m):
+    h = m  # half size; n = 2m
+    x = plane_ref[0].astype(jnp.int32)
+    # horizontal raw IV pass, formulated on the transpose so the filtered
+    # axis is the sublane axis
+    t0 = x.T
+    lowT, highT = _down_cols_iv(t0, m)
+    t = jnp.concatenate([lowT, highT], axis=0).astype(jnp.int16)
+    tt = t.T.astype(jnp.int32)               # == concat([low, high], -1)
+    # per-half column passes: VI on the top rows, plain 53 on the bottom
+    topT_l, topT_h = _down_cols_vi(tt[:, :h], m)
+    botT_l, botT_h = _down_cols_53(tt[:, h:], m)
+    outT = jnp.concatenate([
+        jnp.concatenate([topT_l, botT_l], axis=1),
+        jnp.concatenate([topT_h, botT_h], axis=1)], axis=0)
+    out = outT.T
+    # LL-quadrant transpose-back (wavelet_filterbank.c:143-151);
+    # rebuilt by concatenation — .at[].set() lowers to scatter, which
+    # Mosaic does not support
+    top = jnp.concatenate([out[:h, :h].T, out[:h, h:]], axis=1)
+    out = jnp.concatenate([top, out[h:, :]], axis=0)
+    out_ref[0] = out.astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def analysis_level_pallas(block: jnp.ndarray, interpret: bool = False
+                          ) -> jnp.ndarray:
+    """One full 2-D analysis level fused in VMEM: raw horizontal pass,
+    transpose, VI/53 column passes, LL transpose-back — the encoder-side
+    mirror of synth_level_pallas.  block: (B, 2M, 2M) int16; equals
+    models.transform._analysis_level."""
+    b, n, _ = block.shape
+    m = n // 2
+    kernel = functools.partial(_analysis_level_kernel, m=m)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, n), jnp.int16),
+        interpret=interpret,
+    )(block)
