@@ -29,6 +29,27 @@ for n in (256, 512):
     got = np.asarray(pallas_dwt.analysis_level_pallas(jnp.asarray(blk),
                                                       interpret=True))
     np.testing.assert_array_equal(got, want)
+
+# the hybrid encode transform is bit-identical to the XLA composition
+# (interpret mode routes the Pallas levels through the reference lowering)
+import jax
+from nhwcodec_tpu.models import transform as TR
+rgb = rng.integers(0, 256, size=(2, 512, 512, 3)).astype(np.uint8)
+def hybrid_interp(x):
+    y, u, v = TR.rgb_to_yuv420_device(x)
+    l1 = pallas_dwt.analysis_level_pallas(y.astype(jnp.int16), interpret=True)
+    l2 = pallas_dwt.analysis_level_pallas(l1[..., :256, :256], interpret=True)
+    yc = l1.at[..., :256, :256].set(l2)
+    def uv_level(p):
+        c1 = pallas_dwt.analysis_level_pallas(p.astype(jnp.int16),
+                                              interpret=True)
+        c2 = TR._analysis_level(c1[..., :128, :128])
+        return c1.at[..., :128, :128].set(c2)
+    return yc, uv_level(u), uv_level(v)
+a = jax.tree_util.tree_map(np.asarray, hybrid_interp(jnp.asarray(rgb)))
+b = jax.tree_util.tree_map(np.asarray, TR.encode_transform(jnp.asarray(rgb)))
+for x, y2 in zip(a, b):
+    np.testing.assert_array_equal(x, y2)
 print("OK")
 """
 
