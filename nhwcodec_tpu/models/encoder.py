@@ -122,18 +122,19 @@ def _band_snap_pass(pf: np.ndarray, rows: range, col0: int, col1: int,
 
 
 def _tree1_tail(yplane: np.ndarray, quality: int, offset: int):
-    """Bytes the reference reads past its tree1 allocation: the chunk is
-    carved from the freed nhw_kernel buffer, so byte k past tree1[16384]
-    aliases the kernel int16 data starting at flat index 139280 (verified
-    stable across inputs for q17..21; None disables emulation)."""
-    if not (T.LOW4 < quality < T.HIGH2):
-        return None
-    from nhwcodec_tpu.ops import prefilter
+    """Bytes the reference reads past its tree1 allocation.
 
-    kernel = prefilter.kernel_for(yplane, quality).astype("<i2")
-    raw = kernel.tobytes()
-    start = 139280 * 2 + offset
-    return np.frombuffer(raw[start:start + 16384], np.uint8)
+    The tree1 chunk's tail content depends on where malloc places it:
+    for some images it aliases the freed nhw_kernel data, for others it
+    is untouched heap (zero under the deterministic zero-fill contract)
+    — the placement itself shifts with image content, so no single
+    emulation reproduces every case.  The reads are value-dead: the only
+    bytes they reach are boundary escape literals whose decoded value
+    the DC automaton overwrites (bit 7 is the only live bit, masked by
+    utils.container.discarded_escape_positions) — so the zero tail is
+    used, which matches the deterministic reference everywhere except
+    inside that masked class."""
+    return None
 
 
 def encode_y(yplane: np.ndarray, quality: int, ratio: int = 8,
@@ -188,9 +189,13 @@ def encode_y(yplane: np.ndarray, quality: int, ratio: int = 8,
 
     wfo = None
     if q > T.LOW8:
+        ht_out: list = []
         requant.offset_y_recons256(
             jpeg, process, q, ratio, part=0,
-            highres_mem=np.array(hr_mem, np.int64))
+            highres_mem=np.array(hr_mem, np.int64),
+            highres_tmp_out=ht_out)
+        if ht_out:
+            sec["_highres_tmp"] = ht_out[0]
         analysis.wavelet_synthesis(jpeg, process, D, 0)
         if q > T.HIGH1:
             wfo = np.empty(SZ, np.int16)
@@ -202,7 +207,8 @@ def encode_y(yplane: np.ndarray, quality: int, ratio: int = 8,
     elif T.LOW6 <= q <= T.LOW5:
         _low56_band_cleanup(pf, q, ratio)
     elif q < T.LOW6:
-        _lowest_q_band_cleanup(pf, resIII, q, ratio, tree1_y)
+        _lowest_q_band_cleanup(pf, resIII, q, ratio, tree1_y,
+                               y_original)
 
     if q > T.LOW4:
         _pair_promotion(pf, q)
@@ -580,13 +586,17 @@ def _low56_band_cleanup(pf, q, ratio):
                         np.where(right[m] <= -14, -7, 0))
 
 
-def _lowest_q_band_cleanup(pf, resIII, q, ratio, tree1_y=None):
+def _lowest_q_band_cleanup(pf, resIII, q, ratio, tree1_y=None,
+                           y_original=None):
     """q<LOW6 band dead-zoning with count-adaptive thresholds
     (encoder/nhw_encoder.c:833-968).  resIII: flat level-2 snapshot.
 
     The last plane row reads resIII past its allocation; that address
-    aliases the live tree1 chunk (4 slack shorts + the chunk size field
-    24593 + tree1's LL2 code bytes as int16 pairs), reproduced here."""
+    aliases the live tree1 chunk: 4 leftover shorts of the freed
+    nhw_kernel buffer (kernel[131080:131084] — resIII reuses the freed
+    kernel chunk, and the next chunk's prev_size field keeps the old
+    data), the chunk size field 24593, and tree1's LL2 code bytes as
+    int16 pairs — all reproduced here."""
     if q == T.LOW7:
         x1, x2, x3, x4, x5 = 15, 27, 10, 6, 3
     else:
@@ -622,6 +632,11 @@ def _lowest_q_band_cleanup(pf, resIII, q, ratio, tree1_y=None):
                 x4 += 2
                 x5 += 2
     oob = np.zeros(256, np.int16)
+    if y_original is not None:
+        from nhwcodec_tpu.ops import prefilter
+
+        kern = prefilter.kernel_for(y_original, q).astype(np.int16)
+        oob[0:4] = kern.reshape(-1)[131080:131084]
     oob[4] = 24593  # the tree1 chunk's size field
     if tree1_y is not None:
         t = tree1_y[:496].astype(np.uint16)
@@ -824,9 +839,19 @@ def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
         y_original = yplane
     im_nhw, sec = encode_y(yplane, q, ratio, y_original)
 
-    proc_u, t1u, exw_u = encode_uv(u8u, q, 0, ratio)
+    # what the reference's compare ladder reads one short past its
+    # res256 chunk: the chunk slack aliases the U plane's bytes at flat
+    # offset 32768 (U, and V at q<=LOW5), or the Y LL2 snapshot value
+    # highres_tmp[8192] when the q>LOW5 highres path ran in between
+    uf = np.ascontiguousarray(u8u, np.uint8).reshape(-1)
+    oob_u = int(np.uint16(int(uf[32768])
+                          | (int(uf[32769]) << 8)).view(np.int16))
+    ht = sec.pop("_highres_tmp", None)
+    oob_v = int(ht[8192]) if (q > T.LOW5 and ht is not None) else oob_u
+
+    proc_u, t1u, exw_u = encode_uv(u8u, q, 0, ratio, oob0=oob_u)
     quantize.serpentine_uv(im_nhw, proc_u, 0)
-    proc_v, t1v, exw_v = encode_uv(u8v, q, 1, ratio)
+    proc_v, t1v, exw_v = encode_uv(u8v, q, 1, ratio, oob0=oob_v)
     quantize.serpentine_uv(im_nhw, proc_v, 1)
 
     sec["exw_Y"] = sec["exw_Y"] + [0, 0] + exw_u + [0, 0] + exw_v
@@ -899,9 +924,15 @@ def _pre_processing_uv(jpeg: np.ndarray, quality: int) -> None:
 
 
 def _uv_compare_ladder(jpeg: np.ndarray, process: np.ndarray,
-                       res256: np.ndarray, strict: bool) -> None:
+                       res256: np.ndarray, strict: bool,
+                       oob0: int = 0) -> None:
     """Post-synthesis LL1 compare (encoder/nhw_encoder.c:2316-2335 U,
-    2629-2647 V; V uses strict inequality on the +-2 neighbour rule)."""
+    2629-2647 V; V uses strict inequality on the +-2 neighbour rule).
+
+    ``oob0``: the value the reference reads at res256[16384] (one short
+    past its 16384-short chunk) for the final position's +-2 rule — the
+    chunk slack deterministically aliases earlier live buffers (the
+    chroma plane bytes / the Y LL2 snapshot, see encode_uv)."""
     from nhwcodec_tpu import native
 
     if native.available():
@@ -911,7 +942,8 @@ def _uv_compare_ladder(jpeg: np.ndarray, process: np.ndarray,
         lib.nhw_uv_compare_ladder(
             ffi.cast("int16_t *", jpeg.ctypes.data),
             ffi.cast("int16_t *", process.ctypes.data),
-            ffi.cast("int16_t *", r16.ctypes.data), 1 if strict else 0)
+            ffi.cast("int16_t *", r16.ctypes.data), 1 if strict else 0,
+            int(oob0))
         return
 
     pf = process.reshape(-1)
@@ -923,7 +955,7 @@ def _uv_compare_ladder(jpeg: np.ndarray, process: np.ndarray,
             cnt = r * 128 + j
             scan = int(pf[e]) - int(rf[cnt])
             nxt = (int(pf[e + 1]) - int(rf[cnt + 1])) if cnt + 1 < 16384 \
-                else int(pf[e + 1])
+                else int(pf[e + 1]) - int(oob0)
             if scan > 10:
                 k = -6
             elif scan > 7:
@@ -1040,7 +1072,7 @@ def _uv_ll_smooth(process: np.ndarray) -> None:
 
 
 def encode_uv(plane_u8: np.ndarray, quality: int, component: int,
-              ratio: int = 8):
+              ratio: int = 8, oob0: int = 0):
     """One chroma plane -> (quantized 256x256 code plane, tree1_uv[4096],
     exw continuation list).  component: 0=U, 1=V."""
     q = quality
@@ -1075,7 +1107,8 @@ def encode_uv(plane_u8: np.ndarray, quality: int, component: int,
 
     requant.offset_uv_recons256(jpeg, process, q, ratio, comp=1)
     analysis.wavelet_synthesis(jpeg, process, 128, 0)
-    _uv_compare_ladder(jpeg, process, res256, strict=(component == 1))
+    _uv_compare_ladder(jpeg, process, res256, strict=(component == 1),
+                       oob0=oob0)
     analysis.wavelet_analysis(jpeg, process, 128, 1, 0)
 
     resIII = process[:128, :128].copy()

@@ -2242,7 +2242,7 @@ void nhw_lowest_q_band_cleanup(int16_t *pf, const int16_t *r3pad,
  * sentinel marking; and the Y pair promotions                         */
 
 void nhw_uv_compare_ladder(int16_t *jf, const int16_t *pf,
-                           const int16_t *rf, int strict)
+                           const int16_t *rf, int strict, int oob0)
 {
     int r, j;
     for (r = 0; r < 128; r++) {
@@ -2250,7 +2250,7 @@ void nhw_uv_compare_ladder(int16_t *jf, const int16_t *pf,
             long e = (long)r * D + j;
             long cnt = (long)r * 128 + j;
             int scan = pf[e] - rf[cnt];
-            int nxt = pf[e + 1] - (cnt + 1 < 16384 ? rf[cnt + 1] : 0);
+            int nxt = pf[e + 1] - (cnt + 1 < 16384 ? rf[cnt + 1] : oob0);
             int k;
             if (scan > 10) k = -6;
             else if (scan > 7) k = -3;
@@ -3346,7 +3346,6 @@ void nhw_downsample_yuv420(const uint8_t *rgb, int mode, float yq, int qtz,
                            int16_t *y, uint8_t *u_out, uint8_t *v_out)
 {
     static uint8_t uplane[512 * 512], vplane[512 * 512];
-    const double half_neg = (double)128.4f;
     long i;
     for (i = 0; i < 512L * 512; i++) {
         int ri = rgb[3 * i], gi = rgb[3 * i + 1], bi = rgb[3 * i + 2];
@@ -3374,8 +3373,14 @@ void nhw_downsample_yuv420(const uint8_t *rgb, int mode, float yq, int qtz,
                 cb = cb * 0.94;
                 cr = cr * 0.94;
             }
-            uv = (long)(cb >= 0 ? cb + 128.5 : cb + half_neg);
-            vv = (long)(cr >= 0 ? cr + 128.5 : cr + half_neg);
+            /* the reference's color_balance is a float: the double sum
+             * rounds to float32, then the +-half add runs in float32
+             * (encoder/colorspace.c:60,75-81) */
+            {
+                float cbf = (float)cb, crf = (float)cr;
+                uv = (long)(cbf >= 0 ? cbf + 128.5f : cbf + 128.4f);
+                vv = (long)(crf >= 0 ? crf + 128.5f : crf + 128.4f);
+            }
             uplane[i] = u8_clip_c(uv);
             vplane[i] = u8_clip_c(vv);
         }

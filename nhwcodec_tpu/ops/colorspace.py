@@ -68,9 +68,16 @@ def rgb_to_yuv(rgb: np.ndarray, quality: int
         cb = cb * 0.94
         cr = cr * 0.94
 
-    u = np.trunc(np.where(cb >= 0, cb + _HALF_POS, cb + _HALF_NEG)
+    # the reference stores the chroma sum into a float variable
+    # (encoder/colorspace.c:60 "float color_balance"), so the double sum
+    # rounds to float32 first and the +-half add happens in float32
+    cb32 = cb.astype(np.float32)
+    cr32 = cr.astype(np.float32)
+    half_p = np.float32(128.5)
+    half_n = np.float32(128.4)
+    u = np.trunc(np.where(cb32 >= 0, cb32 + half_p, cb32 + half_n)
                  ).astype(np.int64)
-    v = np.trunc(np.where(cr >= 0, cr + _HALF_POS, cr + _HALF_NEG)
+    v = np.trunc(np.where(cr32 >= 0, cr32 + half_p, cr32 + half_n)
                  ).astype(np.int64)
     return (y.astype(np.int16), _clip_u8_c(u), _clip_u8_c(v))
 

@@ -82,5 +82,48 @@ GENERATORS = {
 }
 
 
+def checkerboard(cell: int = 1) -> np.ndarray:
+    """Worst-case alternating pattern (maximum high-band energy)."""
+    x, y = _grid()
+    p = ((x // cell + y // cell) % 2 * 255).astype(np.uint8)
+    return np.ascontiguousarray(np.repeat(p[..., None], 3, axis=-1))
+
+
+def max_noise(seed: int = 99) -> np.ndarray:
+    """Full-range uniform noise on every channel."""
+    rng = np.random.default_rng(seed)
+    return np.ascontiguousarray(
+        rng.integers(0, 256, (512, 512, 3), dtype=np.uint8))
+
+
+def saturated_ramp() -> np.ndarray:
+    """Channel-saturating chroma extreme with a horizontal ramp."""
+    x, _ = _grid()
+    return np.ascontiguousarray(np.stack(
+        [np.full((512, 512), 255, np.uint8),
+         np.zeros((512, 512), np.uint8),
+         ((x * 255) // 511).astype(np.uint8)], -1))
+
+
+def photo_waves(seed: int = 99) -> np.ndarray:
+    """Photo-like smooth waves + sensor noise."""
+    rng = np.random.default_rng(seed)
+    x, y = _grid()
+    p = np.clip(128 + 80 * np.sin(x / 17.0) * np.cos(y / 23.0)
+                + rng.normal(0, 12, (512, 512)), 0, 255)
+    return np.ascontiguousarray(
+        np.repeat(p[..., None], 3, axis=-1).astype(np.uint8))
+
+
+EXTREME_GENERATORS = {
+    "checker": checkerboard,
+    "maxnoise": max_noise,
+    "allblack": lambda: np.zeros((512, 512, 3), np.uint8),
+    "allwhite": lambda: np.full((512, 512, 3), 255, np.uint8),
+    "saturated": saturated_ramp,
+    "photo2": photo_waves,
+}
+
+
 def all_images() -> dict[str, np.ndarray]:
     return {name: gen() for name, gen in GENERATORS.items()}

@@ -169,3 +169,27 @@ def test_boundary_escape_dead_bytes(fixture_dir, name, q, tmp_path):
     oracle.decode(p_mine, tmp_path / "a.bmp")
     oracle.decode(nhw, tmp_path / "b.bmp")
     assert (tmp_path / "a.bmp").read_bytes() == (tmp_path / "b.bmp").read_bytes()
+
+
+@requires_oracle
+@pytest.mark.parametrize("q", [1, 4, 8, 12, 16, 17, 18, 20, 23])
+def test_extreme_content_sweep(fixture_dir, q):
+    """Adversarial content (checkerboard, full-range noise, saturated
+    chroma, black/white, noisy waves) stays byte-exact vs the
+    deterministic reference.  These inputs historically exposed the
+    heap-slack alias classes (resIII kernel leftovers, the UV compare
+    ladder's res256[16384] read, float32 colorspace rounding)."""
+    import nhwcodec_tpu
+    from nhwcodec_tpu.utils import fixtures
+
+    for name, gen in fixtures.EXTREME_GENERATORS.items():
+        img = gen()
+        src = fixture_dir / f"x_{name}.bmp"
+        if not src.exists():
+            bmp_io.write_bmp512(src, img)
+        nhw = fixture_dir / f"x_{name}_q{q}.nhw"
+        if not nhw.exists():
+            oracle.encode_det(src, nhw, q)
+        mine = nhwcodec_tpu.encode(img, q)
+        assert container.equal_modulo_dead_bits(mine, nhw.read_bytes()), \
+            (name, q)

@@ -141,6 +141,23 @@ _HOOKS = [
      'nhw_dump("d13v_process", im->im_process, IM_SIZE*2);\n\t'),
     ("nhw_encoder.c", 1, "offsetUV(im,ratio);", "after",
      '\n\tnhw_dump("d14v_process", im->im_process, IM_SIZE*2);'),
+    # slack-origin traces: the 32KB chunks' tail region at each malloc
+    ("nhw_encoder.c", 0, "res256=(short*)malloc((IM_SIZE>>2)*sizeof(short));",
+     "after", '\n\tnhw_dump("dU_res256oob_at_malloc", res256+(IM_SIZE>>2), 64);'),
+    ("nhw_encoder.c", 1, "res256=(short*)malloc((IM_SIZE>>2)*sizeof(short));",
+     "after", '\n\tnhw_dump("dV_res256oob_at_malloc", res256+(IM_SIZE>>2), 64);'),
+    ("image_processing.c", 0,
+     "highres_tmp=(short*)malloc((IM_SIZE>>2)*sizeof(short));",
+     "after", '\n\t\tnhw_dump("dHT_oob_at_malloc", highres_tmp+(IM_SIZE>>2), 64);'),
+    # V compare-ladder entry: process plane + res256 incl. its OOB short
+    ("nhw_encoder.c", 0, "for (i=0,count=0,a=0,Y=0;i<(IM_SIZE>>1);i+=IM_DIM)",
+     "before",
+     'nhw_dump("dV_process", im->im_process, IM_SIZE*2);'
+     'nhw_dump("dV_res256", res256, (IM_SIZE>>2)*2);'
+     'nhw_dump("dV_res256oob", res256+(IM_SIZE>>2), 64);\n\t'),
+    # resIII OOB alias at the <LOW6 cleanup entry (nhw_encoder.c:871)
+    ("nhw_encoder.c", 0, "for (i=0;i<(2*IM_SIZE);i+=(2*IM_DIM))", "before",
+     'nhw_dump("dLL_resIIIoob", resIII+IM_SIZE, 256);\n\t\t'),
     ("nhw_encoder.c", 0, "\n\thighres_compression(im,enc);", "before",
      '\n\tnhw_dump("d15_imnhw", im->im_nhw, 6*IM_SIZE);'
      'nhw_dump("d15_tree1", enc->tree1, 24576);'),
@@ -212,6 +229,12 @@ _DTYPES = {
     "d8_hrword": ("u1", None), "d8_reslow": ("<i4", None),
     "d8_yrescomp": ("<i4", None),
     "d9_jpeg": ("<i2", (512, 512)), "d9_resIIIoob": ("<i2", None),
+    "dLL_resIIIoob": ("<i2", None),
+    "dV_process": ("<i2", (256, 256)), "dV_res256": ("<i2", (128, 128)),
+    "dV_res256oob": ("<i2", None),
+    "dU_res256oob_at_malloc": ("<i2", None),
+    "dV_res256oob_at_malloc": ("<i2", None),
+    "dHT_oob_at_malloc": ("<i2", None),
     "d10_process": ("<i2", (512, 512)),
     "d11_process": ("<i2", (512, 512)),
     "d12_imnhw": ("u1", None), "d12_sel1": ("<i4", None),
