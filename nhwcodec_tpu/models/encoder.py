@@ -215,8 +215,20 @@ def encode_y(yplane: np.ndarray, quality: int, ratio: int = 8,
 
     res_setting = _res_setting(q)
     if q > T.LOW8:
+        # the res256 chunk slack aliases the freed kernel's row-128 head
+        # up to q=HIGH1; the q>HIGH1 first-order-plane allocation shifts
+        # the layout and leaves untouched (zero-filled) heap there
+        if q <= T.HIGH1:
+            from nhwcodec_tpu.ops import prefilter
+
+            kern = (prefilter.final_low_kernel(y_original, q)
+                    if q <= T.LOW4 else prefilter.kernel_for(y_original, q))
+            khead = np.asarray(kern).reshape(-1)[65536:65540].astype(
+                np.int16)
+        else:
+            khead = None
         residue.res256_column_ladder(process, res256, q, res_setting,
-                                     resIII)
+                                     resIII, kernel_head=khead)
         n1, n3, n5 = residue.res256_classify(process, res256, q, res_setting)
 
     if q > T.HIGH1 and wfo is not None:
@@ -635,7 +647,7 @@ def _lowest_q_band_cleanup(pf, resIII, q, ratio, tree1_y=None,
     if y_original is not None:
         from nhwcodec_tpu.ops import prefilter
 
-        kern = prefilter.kernel_for(y_original, q).astype(np.int16)
+        kern = prefilter.final_low_kernel(y_original, q).astype(np.int16)
         oob[0:4] = kern.reshape(-1)[131080:131084]
     oob[4] = 24593  # the tree1 chunk's size field
     if tree1_y is not None:

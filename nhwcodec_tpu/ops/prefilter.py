@@ -83,6 +83,23 @@ def _kernel_pass_simple(res: np.ndarray, cnt: np.ndarray) -> np.ndarray:
 
 _KERNEL_CACHE: dict[tuple[int, bytes], np.ndarray] = {}
 
+# final q<=LOW4 kernel state (post pair-walk/sentinel/sharpen mutations):
+# the encoder's q<LOW6 cleanup reads the reference's freed-kernel slack,
+# which reflects this free-time state, not the initial kernel pass
+_FINAL_KERNEL_CACHE: dict[tuple[int, bytes], np.ndarray] = {}
+
+
+def final_low_kernel(yplane: np.ndarray, quality: int) -> np.ndarray:
+    """The nhw_kernel contents at free time for the q<=LOW4 path (flat
+    int32).  Computed as a side effect of _pre_process_y_low and cached;
+    replays the pre-filter if called first."""
+    key = (quality, yplane.tobytes())
+    hit = _FINAL_KERNEL_CACHE.get(key)
+    if hit is None:
+        _pre_process_y_low(yplane, quality)
+        hit = _FINAL_KERNEL_CACHE[key]
+    return hit
+
 
 def kernel_for(yplane: np.ndarray, quality: int) -> np.ndarray:
     """The nhw_kernel plane (flat int32) — also needed by the encoder to
@@ -1437,6 +1454,8 @@ def _pre_process_y_low(yplane: np.ndarray, quality: int) -> np.ndarray:
             ffi.cast("int16_t *", jf.ctypes.data),
             ffi.cast("int32_t *", kern.ctypes.data),
             ffi.cast("uint8_t *", sharp.ctypes.data), sharpness, sharpn2)
+        _FINAL_KERNEL_CACHE.clear()
+        _FINAL_KERNEL_CACHE[(quality, yplane.tobytes())] = kern
         return jpeg
 
     res_a, cnt_a = _gradient_sums(yplane)
@@ -1448,4 +1467,7 @@ def _pre_process_y_low(yplane: np.ndarray, quality: int) -> np.ndarray:
     _pair_walk_low(jf, pf, kf, quality, sharpness, sharpn2, n1, sharp_on)
     _sentinel_pass_low4(jf, kf, sharp_on, sharpness, sharpn2)
     _pair_sharpen_low4(jf, kf, sharp_on, sharpness, sharpn2)
+    _FINAL_KERNEL_CACHE.clear()
+    _FINAL_KERNEL_CACHE[(quality, yplane.tobytes())] = np.asarray(
+        kf, np.int32)
     return jpeg

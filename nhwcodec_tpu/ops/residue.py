@@ -61,18 +61,23 @@ def _band_w3(pf, st):
 
 def res256_column_ladder(process: np.ndarray, res256: np.ndarray,
                          quality: int, res_setting: int,
-                         resIII: np.ndarray | None = None) -> None:
+                         resIII: np.ndarray | None = None,
+                         kernel_head: np.ndarray | None = None) -> None:
     """Column-major vertical-gradient marking (encoder/nhw_encoder.c:1084-
     1326).  Mutates process (level-1 LL/band planes, 512-wide) and res256
     (marks 12100..12600/14000..14900).
 
     The reference reads res256[count+2*IM_DIM] past the allocation on the
-    last row; that address aliases the live resIII buffer (allocated right
-    after res256 in the reference's heap: 8 slack shorts — 4 of free-chunk
-    remnant + the chunk size field [17,2,0,0] — then resIII's data).
-    Passing ``resIII`` reproduces those reads; writes stay in-bounds."""
+    last row; that address aliases (in order): 4 slack shorts holding the
+    free-chunk remnant of the nhw_kernel buffer at kernel[65536:65540]
+    (row 128 cols 0..3; col 0 is never written by the kernel pass, so it
+    is 0 under the deterministic zero-fill — pass via ``kernel_head``),
+    the next chunk's size field [17,2,0,0], then the live resIII data.
+    Writes stay in-bounds."""
     pf = process.reshape(-1)
     oob = np.zeros(1024, np.int16)
+    if kernel_head is not None:
+        oob[0:4] = np.asarray(kernel_head, np.int16)[:4]
     oob[4:8] = [17, 2, 0, 0]
     if resIII is not None:
         r3 = resIII.reshape(-1)

@@ -141,6 +141,16 @@ _HOOKS = [
      'nhw_dump("d13v_process", im->im_process, IM_SIZE*2);\n\t'),
     ("nhw_encoder.c", 1, "offsetUV(im,ratio);", "after",
      '\n\tnhw_dump("d14v_process", im->im_process, IM_SIZE*2);'),
+    # res256 slack writer trace
+    ("nhw_encoder.c", 0, "offsetY_recons256(im,enc,ratio,1);", "before",
+     'nhw_dump("dS1_oob", res256+IM_SIZE, 16);\n\t'),
+    ("nhw_encoder.c", 0, "offsetY_recons256(im,enc,ratio,1);", "after",
+     '\n\tnhw_dump("dS2_oob", res256+IM_SIZE, 16);'),
+    ("nhw_encoder.c", 0, "wavelet_synthesis(im,(2*IM_DIM)>>1,end_transform-1,1);",
+     "after", '\n\tnhw_dump("dS3_oob", res256+IM_SIZE, 16);'),
+    # full kernel buffer at free time (automaton cross-check)
+    ("image_processing.c", 0, "free(nhw_kernel);", "before",
+     'nhw_dump("dK_kernel", nhw_kernel, 4*IM_SIZE*2);\n\t'),
     # slack-origin traces: the 32KB chunks' tail region at each malloc
     ("nhw_encoder.c", 0, "res256=(short*)malloc((IM_SIZE>>2)*sizeof(short));",
      "after", '\n\tnhw_dump("dU_res256oob_at_malloc", res256+(IM_SIZE>>2), 64);'),
@@ -235,6 +245,9 @@ _DTYPES = {
     "dU_res256oob_at_malloc": ("<i2", None),
     "dV_res256oob_at_malloc": ("<i2", None),
     "dHT_oob_at_malloc": ("<i2", None),
+    "dK_kernel": ("<i2", None),
+    "dS1_oob": ("<i2", None), "dS2_oob": ("<i2", None),
+    "dS3_oob": ("<i2", None),
     "d10_process": ("<i2", (512, 512)),
     "d11_process": ("<i2", (512, 512)),
     "d12_imnhw": ("u1", None), "d12_sel1": ("<i4", None),
