@@ -859,7 +859,10 @@ def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
     oob_u = int(np.uint16(int(uf[32768])
                           | (int(uf[32769]) << 8)).view(np.int16))
     ht = sec.pop("_highres_tmp", None)
-    oob_v = int(ht[8192]) if (q > T.LOW5 and ht is not None) else oob_u
+    # V's chunk reuses the freed Y highres_tmp for the simple-prefilter
+    # qualities; at q<=LOW4 the low-path buffers shift the layout and V
+    # lands on the same u-plane remnant as U
+    oob_v = int(ht[8192]) if (q > T.LOW4 and ht is not None) else oob_u
 
     proc_u, t1u, exw_u = encode_uv(u8u, q, 0, ratio, oob0=oob_u)
     quantize.serpentine_uv(im_nhw, proc_u, 0)

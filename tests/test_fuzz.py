@@ -71,3 +71,17 @@ def test_header_field_fuzz(valid_streams):
         for val in (0, 1, 127, 128, 255):
             buf[pos] = val
             _try_decode(bytes(buf))
+
+
+def test_encodes_content_that_crashes_the_reference():
+    """8x8 random binary block images at q>=17 make the reference
+    encoder abort with heap corruption (its own out-of-bounds writes);
+    this framework encodes them and roundtrips its own stream."""
+    rng = np.random.default_rng(777)
+    p = rng.integers(0, 2, (64, 64)) * 255
+    p = np.kron(p, np.ones((8, 8))).astype(np.uint8)
+    img = np.ascontiguousarray(np.repeat(p[..., None], 3, axis=-1))
+    for q in (17, 20, 23):
+        data = nhwcodec_tpu.encode(img, q)
+        out = nhwcodec_tpu.decode(data)
+        assert out.shape == (512, 512, 3)
