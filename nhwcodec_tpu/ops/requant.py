@@ -637,6 +637,26 @@ _EXTRA_TABLE = np.array([
     0, 0, -18, 0, -19,
 ], dtype=np.int32)
 
+# the reference indexes extra_table[a] for any band code with (a&7)!=0,
+# including a>=109 — a static out-of-bounds read into the neighbouring
+# .rodata (alignment padding, extra_words2, extra_words1, then unrelated
+# constants).  These 147 bytes are the deterministic layout of the
+# reference build (dumped from the oracle binary at the extra_table
+# symbol); they feed real res6/qsetting3 stream decisions at q>HIGH1.
+_EXTRA_TABLE = np.concatenate([
+    _EXTRA_TABLE[:109],
+    np.array([
+    0, 0, 0, 60, 62, 66, 68, 70, 74, 76, 78, 82, 84, 86, 90, 92, 94, 98,
+    100, 102, 106, 108, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 10, 12, 14,
+    18, 20, 22, 26, 28, 30, 34, 36, 38, 42, 44, 46, 50, 52, 54, 58, 0, 120,
+    0, 120, 0, 116, 39, -100, 49, 68, 47, 116, 39, 116, 39, 116, 39, 116,
+    39, 100, 50, -88, 47, 116, 39, 5, 0, 6, 0, -5, -1, -7, -1, -60, 59, 0,
+    0, 5, 0, 5, 0, 40, 60, 0, 0, -6, -1, -5, -1, 6, 0, 6, 0, -6, -1, -6,
+    -1, -11, -1, -11, -1, 2, 3, 3, 2, 21, -59, -1, -1, -87, -60, -1, -1,
+    -42, -60, -1, -1, -53, -68, -1, -1, 6, -61, -1, -1, 6, -61, -1, -1, 6,
+    -61, -1, -1
+    ], dtype=np.int32)])
+
 
 def im_recons_wavelet_band(process: np.ndarray) -> np.ndarray:
     """Dequantize the post-offsetY HL band codes back to coefficients
@@ -654,21 +674,27 @@ def im_recons_wavelet_band(process: np.ndarray) -> np.ndarray:
                 j += 1
                 continue
             if a == 127:
-                band[r - 1] = 5
+                # C writes band[-1]/band[SZ] into heap slack at the plane
+                # edges; numpy would wrap/raise, so clamp to no-ops
+                if r >= 1:
+                    band[r - 1] = 5
                 band[r] = 6
-                band[r + 1] = 5
+                if r + 1 < SZ:
+                    band[r + 1] = 5
                 r += 2
                 j += 2
                 continue
             if a == 129:
-                band[r - 1] = -5
+                if r >= 1:
+                    band[r - 1] = -5
                 band[r] = -7
-                band[r + 1] = -5
+                if r + 1 < SZ:
+                    band[r + 1] = -5
                 r += 2
                 j += 2
                 continue
             if (a & 7) != 0:
-                ex = int(_EXTRA_TABLE[a]) if a < 109 else 0
+                ex = int(_EXTRA_TABLE[a])
                 if ex > 0:
                     band[r] = T.WVLT_ENERGY_NHW + (ex << 3)
                 else:

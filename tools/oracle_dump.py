@@ -141,6 +141,16 @@ _HOOKS = [
      'nhw_dump("d13v_process", im->im_process, IM_SIZE*2);\n\t'),
     ("nhw_encoder.c", 1, "offsetUV(im,ratio);", "after",
      '\n\tnhw_dump("d14v_process", im->im_process, IM_SIZE*2);'),
+    # HQ residue (q>HIGH1) mark-state + inputs
+    ("wavelet_filterbank.c", 0, "free(im->im_quality_setting);", "before",
+     'nhw_dump("dHQ_whs", wavelet_half_synthesis, 2*IM_SIZE*2);'
+     'nhw_dump("dHQ_snap", im->im_quality_setting, 2*IM_SIZE*2);\n\t'),
+    ("wavelet_filterbank.c", 0,
+     "if (im->setup->quality_setting>HIGH2) wavelet_half_synth_res=30;",
+     "before",
+     'nhw_dump("dHQ_synth", wavelet_half_synthesis, 2*IM_SIZE*2);'
+     'nhw_dump("dHQ_wfo", im->im_wavelet_first_order, IM_SIZE*2);'
+     'nhw_dump("dHQ_band", im->im_wavelet_band, IM_SIZE*2);\n\t'),
     # res256 slack writer trace
     ("nhw_encoder.c", 0, "offsetY_recons256(im,enc,ratio,1);", "before",
      'nhw_dump("dS1_oob", res256+IM_SIZE, 16);\n\t'),
@@ -246,6 +256,9 @@ _DTYPES = {
     "dV_res256oob_at_malloc": ("<i2", None),
     "dHT_oob_at_malloc": ("<i2", None),
     "dK_kernel": ("<i2", None),
+    "dHQ_whs": ("<i2", None), "dHQ_snap": ("<i2", None),
+    "dHQ_synth": ("<i2", None), "dHQ_wfo": ("<i2", None),
+    "dHQ_band": ("<i2", None),
     "dS1_oob": ("<i2", None), "dS2_oob": ("<i2", None),
     "dS3_oob": ("<i2", None),
     "d10_process": ("<i2", (512, 512)),
