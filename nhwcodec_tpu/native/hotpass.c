@@ -2646,10 +2646,11 @@ void nhw_offset_y_recons256(int16_t *jf, int16_t *pf, int quality, int m1,
     nhw_quantize_band(jf, pf, !low4p ? 1 : 0, m1, part, 0, 128, 128, 256);
     nhw_quantize_band(jf, pf, !low4p ? 1 : 0, m1, part, 128, 256, 0, 256);
 
-    /* part=0: isolated-coefficient damping (3135-3189) */
+    /* part=0: isolated-coefficient damping (3135-3189); the reference
+     * loop runs i < 2*IM_SIZE - 2*IM_DIM, i.e. rows 1..254 only */
     if (!part) {
         int thr_diag = low4p ? 8 : 16, j;
-        for (r = 1; r < 256; r++) {
+        for (r = 1; r < 255; r++) {
             long base = (long)r * N;
             for (j = 1; j < 255; j++) {
                 long e = base + j;

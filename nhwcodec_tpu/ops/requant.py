@@ -375,10 +375,11 @@ def offset_y_recons256(jpeg: np.ndarray, process: np.ndarray, quality: int,
     _quantize_band(jpeg, process, quality, m1, part, rows=range(128, 256),
                    cols=(0, 256))
 
-    # --- part=0: isolated-coefficient damping (3135-3189)
+    # --- part=0: isolated-coefficient damping (3135-3189); the
+    # reference loop stops at row 254 (i < 2*IM_SIZE - 2*IM_DIM)
     if not part:
         thr_diag = 16 if quality <= T.LOW4 else 8
-        for r in range(1, 256):
+        for r in range(1, 255):
             base = r * N
             for j in range(1, 255):
                 e = base + j

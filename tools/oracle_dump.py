@@ -141,6 +141,10 @@ _HOOKS = [
      'nhw_dump("d13v_process", im->im_process, IM_SIZE*2);\n\t'),
     ("nhw_encoder.c", 1, "offsetUV(im,ratio);", "after",
      '\n\tnhw_dump("d14v_process", im->im_process, IM_SIZE*2);'),
+    # process plane right after offsetY_recons256 part=0
+    ("nhw_encoder.c", 0, "offsetY_recons256(im,enc,ratio,0);", "after",
+     '\n\tnhw_dump("dP0_process", im->im_process, 4*IM_SIZE*2);'
+     'nhw_dump("dP0_jpeg", im->im_jpeg, 4*IM_SIZE*2);'),
     # HQ residue (q>HIGH1) mark-state + inputs
     ("wavelet_filterbank.c", 0, "free(im->im_quality_setting);", "before",
      'nhw_dump("dHQ_whs", wavelet_half_synthesis, 2*IM_SIZE*2);'
@@ -256,6 +260,7 @@ _DTYPES = {
     "dV_res256oob_at_malloc": ("<i2", None),
     "dHT_oob_at_malloc": ("<i2", None),
     "dK_kernel": ("<i2", None),
+    "dP0_process": ("<i2", (512, 512)), "dP0_jpeg": ("<i2", (512, 512)),
     "dHQ_whs": ("<i2", None), "dHQ_snap": ("<i2", None),
     "dHQ_synth": ("<i2", None), "dHQ_wfo": ("<i2", None),
     "dHQ_band": ("<i2", None),
