@@ -859,9 +859,15 @@ def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
     oob_u = int(np.uint16(int(uf[32768])
                           | (int(uf[32769]) << 8)).view(np.int16))
     ht = sec.pop("_highres_tmp", None)
-    # V's chunk reuses the freed Y highres_tmp for the simple-prefilter
-    # qualities; at q<=LOW4 the low-path buffers shift the layout and V
-    # lands on the same u-plane remnant as U
+    # V's chunk most often reuses the freed Y highres_tmp for the
+    # simple-prefilter qualities; at q<=LOW4 the low-path buffers shift
+    # the layout and V lands on the same u-plane remnant as U.  Known
+    # limitation: the slack placement depends on every content-sized
+    # allocation before it (stream lengths), so for rare content the
+    # reference's value is a different heap remnant entirely — it only
+    # matters when the compare ladder's final LL1 position sits exactly
+    # at the +-3 rule boundary (<1% of fuzzed images, ~5 bytes of
+    # divergence when hit)
     oob_v = int(ht[8192]) if (q > T.LOW4 and ht is not None) else oob_u
 
     proc_u, t1u, exw_u = encode_uv(u8u, q, 0, ratio, oob0=oob_u)
