@@ -858,17 +858,19 @@ def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
     uf = np.ascontiguousarray(u8u, np.uint8).reshape(-1)
     oob_u = int(np.uint16(int(uf[32768])
                           | (int(uf[32769]) << 8)).view(np.int16))
-    ht = sec.pop("_highres_tmp", None)
-    # V's chunk most often reuses the freed Y highres_tmp for the
-    # simple-prefilter qualities; at q<=LOW4 the low-path buffers shift
-    # the layout and V lands on the same u-plane remnant as U.  Known
-    # limitation: the slack placement depends on every content-sized
-    # allocation before it (stream lengths), so for rare content the
-    # reference's value is a different heap remnant entirely — it only
-    # matters when the compare ladder's final LL1 position sits exactly
-    # at the +-3 rule boundary (<1% of fuzzed images, ~5 bytes of
-    # divergence when hit)
-    oob_v = int(ht[8192]) if (q > T.LOW4 and ht is not None) else oob_u
+    sec.pop("_highres_tmp", None)
+    # malloc traces of the reference (plain binary, zero-filled heap)
+    # show V's res256 chunk slack aliases the freed downsampled-U byte
+    # plane at byte offset 32768 for every quality except q=LOW1, where
+    # the res3-era allocations shift the chunk by 4112 bytes (offset
+    # 36880).  Known limitation: at q>=HIGH1 some content-sized stream
+    # allocations can reseat the chunk onto other remnants (first-order
+    # plane); the value only matters when the compare ladder's final
+    # LL1 position sits exactly on the +-3 rule boundary (<1% of
+    # fuzzed images, a few stream bytes when hit).
+    v_off = 36880 if q == T.LOW1 else 32768
+    oob_v = int(np.uint16(int(uf[v_off])
+                          | (int(uf[v_off + 1]) << 8)).view(np.int16))
 
     proc_u, t1u, exw_u = encode_uv(u8u, q, 0, ratio, oob0=oob_u)
     quantize.serpentine_uv(im_nhw, proc_u, 0)
@@ -1005,56 +1007,69 @@ def _uv_compare_ladder(jpeg: np.ndarray, process: np.ndarray,
 def _uv_sentinel_marking(process: np.ndarray, res256: np.ndarray,
                          quality: int, res_uv: int) -> None:
     """Band sentinels 12400/12600/12900/13000 (encoder/nhw_encoder.c:2372-
-    2424)."""
+    2424).  The reference's count register advances by 2 on each
+    12400/12600 placement; a placement at a row's final position overruns
+    the row and desynchronizes count from the grid for every later row —
+    reproduced with a running counter over an extended res256 (zero tail
+    for the drift overrun past 16384)."""
     from nhwcodec_tpu import native
+
+    rf_ext = np.concatenate([
+        np.ascontiguousarray(res256.reshape(-1), np.int16),
+        np.zeros(512, np.int16)])
 
     if native.available():
         lib = native._load()
         ffi = native.ffi()
-        r16 = np.ascontiguousarray(res256.reshape(-1), np.int16)
         lib.nhw_uv_sentinel_marking(
             ffi.cast("int16_t *", process.ctypes.data),
-            ffi.cast("const int16_t *", r16.ctypes.data), res_uv)
+            ffi.cast("const int16_t *", rf_ext.ctypes.data),
+            rf_ext.size, res_uv)
         return
 
     pf = process.reshape(-1)
-    rf = res256.reshape(-1)
-
-    def place(e: int, code: int) -> bool:
-        for off in (128, SZ >> 1, (SZ >> 1) + 128):
-            if abs(int(pf[e + off])) < 8:
-                pf[e + off] = code
-                return True
-        return False
-
-    for r in range(128):
+    rf = rf_ext.astype(np.int64)
+    count = 0
+    for base in range(0, 2 * SZ >> 2, D):
+        scan = base
         j = 0
         while j < 128:
-            e = r * D + j
-            cnt = r * 128 + j
-            d0 = int(pf[e]) - int(rf[cnt])
-            d1 = (int(pf[e + 1]) - int(rf[cnt + 1])) if cnt + 1 < 16384 \
-                else int(pf[e + 1])
-            if 3 < d0 < 7:
-                if 2 < d1 < 7:
-                    if place(e, 12400):
-                        j += 2
-                        continue
-            elif -7 < d0 < -3:
-                if -8 < d1 < -2:
-                    if place(e, 12600):
-                        j += 2
-                        continue
+            d0 = int(pf[scan]) - int(rf[count])
+            d1 = int(pf[scan + 1]) - int(rf[count + 1])
+            placed = False
+            if 3 < d0 < 7 and 2 < d1 < 7:
+                for off in (128, SZ >> 1, (SZ >> 1) + 128):
+                    if abs(int(pf[scan + off])) < 8:
+                        pf[scan + off] = 12400
+                        placed = True
+                        break
+            elif -7 < d0 < -3 and -8 < d1 < -2:
+                for off in (128, SZ >> 1, (SZ >> 1) + 128):
+                    if abs(int(pf[scan + off])) < 8:
+                        pf[scan + off] = 12600
+                        placed = True
+                        break
+            if placed:
+                count += 2
+                scan += 2
+                j += 2
+                continue
             if abs(d0) > res_uv:
+                code = None
                 if d0 > 0:
-                    place(e, 12900)
+                    code = 12900
                 elif d0 == -5:
-                    if d1 < 0:
-                        place(e, 13000)
+                    code = 13000 if d1 < 0 else None
                 else:
-                    place(e, 13000)
+                    code = 13000
+                if code:
+                    for off in (128, SZ >> 1, (SZ >> 1) + 128):
+                        if abs(int(pf[scan + off])) < 8:
+                            pf[scan + off] = code
+                            break
+            count += 1
+            scan += 1
             j += 1
-
 
 def _uv_ll_smooth(process: np.ndarray) -> None:
     """q<=LOW9 LL smoothing (encoder/nhw_encoder.c:2438-2477)."""

@@ -52,7 +52,8 @@ void nhw_quantize_band(int16_t *jf, int16_t *pf, int low4, int m1, int part,
 void nhw_offset_y_recons256(int16_t *jf, int16_t *pf, int quality, int m1,
                             int part, int16_t *highres_tmp,
                             const int32_t *highres_mem, int n_mem);
-void nhw_uv_sentinel_marking(int16_t *pf, const int16_t *rf, int res_uv);
+void nhw_uv_sentinel_marking(int16_t *pf, const int16_t *rf,
+                             long rf_len, int res_uv);
 void nhw_build_positional_stream(int16_t *rf, const int32_t *word_tab,
                                  const int16_t *repl_tab,
                                  int32_t *positions, long *n_pos,
@@ -120,6 +121,9 @@ void nhw_pair_promotion(int16_t *pf);
 long nhw_dering_mark(int16_t *proc, int32_t *marks_out);
 void nhw_isolated_smooth(int16_t *flat, int diag_thr);
 void nhw_uv_sharpen(int16_t *proc, int thr);
+void nhw_stream_positions(const uint8_t *res_in, long n, int64_t *pos,
+                          long n_entries, int row_step, int first_count,
+                          int pack_shift);
 """
 
 _lib = None

@@ -2674,46 +2674,56 @@ void nhw_offset_y_recons256(int16_t *jf, int16_t *pf, int quality, int m1,
 /* UV band sentinels 12400/12600/12900/13000
  * (models/encoder.py _uv_sentinel_marking; encoder/nhw_encoder.c:2372) */
 
-static int uv_place(int16_t *pf, long e, int code)
+void nhw_uv_sentinel_marking(int16_t *pf, const int16_t *rf,
+                             long rf_len, int res_uv)
 {
-    static const long offs[3] = {128, SZ >> 1, (SZ >> 1) + 128};
-    int k;
-    for (k = 0; k < 3; k++) {
-        if (iabs(pf[e + offs[k]]) < 8) {
-            pf[e + offs[k]] = (int16_t)code;
-            return 1;
-        }
-    }
-    return 0;
-}
-
-void nhw_uv_sentinel_marking(int16_t *pf, const int16_t *rf, int res_uv)
-{
-    int r;
-    for (r = 0; r < 128; r++) {
+    /* the reference's count register advances by 2 on each 12400/12600
+     * placement; a placement at a row's final position overruns the row
+     * and desynchronizes count from the grid for every later row
+     * (encoder/nhw_encoder.c:2372-2424).  rf must carry a tail past
+     * 16384 entries for the drift overrun (zero-filled heap slack). */
+    long count = 0, i;
+    for (i = 0; i < 32768; i += 256) {
+        long scan = i;
         int j = 0;
         while (j < 128) {
-            long e = (long)r * D + j;
-            long cnt = (long)r * 128 + j;
-            int d0 = pf[e] - rf[cnt];
-            int d1 = (cnt + 1 < 16384) ? pf[e + 1] - rf[cnt + 1]
-                                       : pf[e + 1];
-            if (d0 > 3 && d0 < 7) {
-                if (d1 > 2 && d1 < 7) {
-                    if (uv_place(pf, e, 12400)) { j += 2; continue; }
-                }
-            } else if (d0 > -7 && d0 < -3) {
-                if (d1 > -8 && d1 < -2) {
-                    if (uv_place(pf, e, 12600)) { j += 2; continue; }
-                }
+            int d0 = pf[scan] - (count < rf_len ? rf[count] : 0);
+            int d1 = pf[scan + 1]
+                     - (count + 1 < rf_len ? rf[count + 1] : 0);
+            int placed = 0, k;
+            static const long offs[3] = {128, 32768, 32896};
+            if (d0 > 3 && d0 < 7 && d1 > 2 && d1 < 7) {
+                for (k = 0; k < 3; k++)
+                    if (iabs(pf[scan + offs[k]]) < 8) {
+                        pf[scan + offs[k]] = 12400;
+                        placed = 1;
+                        break;
+                    }
+            } else if (d0 < -3 && d0 > -7 && d1 < -2 && d1 > -8) {
+                for (k = 0; k < 3; k++)
+                    if (iabs(pf[scan + offs[k]]) < 8) {
+                        pf[scan + offs[k]] = 12600;
+                        placed = 1;
+                        break;
+                    }
+            }
+            if (placed) {
+                count += 2; scan += 2; j += 2;
+                continue;
             }
             if (iabs(d0) > res_uv) {
-                if (d0 > 0) uv_place(pf, e, 12900);
-                else if (d0 == -5) {
-                    if (d1 < 0) uv_place(pf, e, 13000);
-                } else uv_place(pf, e, 13000);
+                int code = 0;
+                if (d0 > 0) code = 12900;
+                else if (d0 == -5) code = d1 < 0 ? 13000 : 0;
+                else code = 13000;
+                if (code)
+                    for (k = 0; k < 3; k++)
+                        if (iabs(pf[scan + offs[k]]) < 8) {
+                            pf[scan + offs[k]] = (int16_t)code;
+                            break;
+                        }
             }
-            j += 1;
+            count += 1; scan += 1; j += 1;
         }
     }
 }
@@ -4030,4 +4040,52 @@ void nhw_ll2_code_uv(int16_t *pf, uint8_t *tree1_uv,
             }
         }
     *n_exw = ne;
+}
+
+/* ------------------------------------------------------------------ */
+/* Positional stream delta-undo (ops/streams.py _positions;
+ * decoder/nhw_decoder.c:93-491 stage A)                               */
+
+void nhw_stream_positions(const uint8_t *res_in, long n, int64_t *pos,
+                          long n_entries, int row_step, int first_count,
+                          int pack_shift)
+{
+    static uint8_t r[1 << 17];
+    long stage = 0, count, i;
+    if (n > (long)sizeof(r)) n = sizeof(r);
+    for (i = 0; i < n; i++) r[i] = res_in[i];
+    if (r[0] == 127) count = first_count;
+    else {
+        pos[stage++] = r[0] << 1;
+        count = 0;
+    }
+    for (i = 1; i < n; i++) {
+        int c = r[i];
+        if (c >= 128) {
+            int e = (c - 128) >> 4;
+            int scan = c & 15;
+            long j;
+            if (r[i - 1] != 127) {
+                j = (stage > 0 ? (pos[stage - 1] & 255) + (e << 1)
+                               : (long)(e << 1));
+            } else {
+                r[i] = 127;
+                count += 2L * row_step;
+                continue;
+            }
+            if (j >= 254) { count += row_step; r[i] = 127; }
+            else if (stage < n_entries) pos[stage++] = j + (count << pack_shift);
+            j += scan << 1;
+            if (j >= 254) { count += row_step; r[i] = 127; }
+            else if (stage < n_entries) pos[stage++] = j + (count << pack_shift);
+        } else if (c == 127) {
+            count += row_step;
+        } else {
+            if (stage > 0 && (c << 1) < (pos[stage - 1] & 255)
+                    && r[i - 1] != 127)
+                count += row_step;
+            if (stage < n_entries)
+                pos[stage++] = (c << 1) + (count << pack_shift);
+        }
+    }
 }

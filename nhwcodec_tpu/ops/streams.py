@@ -27,6 +27,19 @@ def _positions(res: np.ndarray, n_entries: int, row_step: int,
     (8 for the u16 streams, 0 for res6 whose counter is already a linear
     offset).  Returns int64 array of length ``n_entries`` (zero padded).
     """
+    from nhwcodec_tpu import native
+
+    if native.available() and len(res) and n_entries:
+        lib = native._load()
+        ffi = native.ffi()
+        rc = np.ascontiguousarray(res, np.uint8)
+        pos = np.zeros(n_entries, np.int64)
+        lib.nhw_stream_positions(
+            ffi.cast("const uint8_t *", rc.ctypes.data), rc.size,
+            ffi.cast("int64_t *", pos.ctypes.data), n_entries,
+            row_step, first_count, pack_shift)
+        return pos
+
     r = res.tolist()
     pos = [0] * n_entries
     stage = 0

@@ -155,6 +155,13 @@ _HOOKS = [
      'nhw_dump("dHQ_synth", wavelet_half_synthesis, 2*IM_SIZE*2);'
      'nhw_dump("dHQ_wfo", im->im_wavelet_first_order, IM_SIZE*2);'
      'nhw_dump("dHQ_band", im->im_wavelet_band, IM_SIZE*2);\n\t'),
+    # V sentinel-marking entry (occurrence 1 = V section)
+    ("nhw_encoder.c", 1,
+     "if (im->setup->quality_setting>=LOW2)\n\t{ \n\tfor (i=0,count=0,Y=0,e=0;i<(IM_SIZE>>1);i+=IM_DIM)",
+     "before",
+     'nhw_dump("dV2_process", im->im_process, IM_SIZE*2);'
+     'nhw_dump("dV2_res256", res256, (IM_SIZE>>2)*2);'
+     'nhw_dump("dV2_jpeg", im->im_jpeg, IM_SIZE*2);\n\t'),
     # res256 slack writer trace
     ("nhw_encoder.c", 0, "offsetY_recons256(im,enc,ratio,1);", "before",
      'nhw_dump("dS1_oob", res256+IM_SIZE, 16);\n\t'),
@@ -256,6 +263,8 @@ _DTYPES = {
     "dLL_resIIIoob": ("<i2", None),
     "dV_process": ("<i2", (256, 256)), "dV_res256": ("<i2", (128, 128)),
     "dV_res256oob": ("<i2", None),
+    "dV2_process": ("<i2", (256, 256)), "dV2_res256": ("<i2", (128, 128)),
+    "dV2_jpeg": ("<i2", (256, 256)),
     "dU_res256oob_at_malloc": ("<i2", None),
     "dV_res256oob_at_malloc": ("<i2", None),
     "dHT_oob_at_malloc": ("<i2", None),
