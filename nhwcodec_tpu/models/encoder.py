@@ -869,12 +869,22 @@ def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
     # LL1 position sits exactly on the +-3 rule boundary (<1% of
     # fuzzed images, a few stream bytes when hit).
     v_off = 36880 if q == T.LOW1 else 32768
-    oob_v = int(np.uint16(int(uf[v_off])
-                          | (int(uf[v_off + 1]) << 8)).view(np.int16))
 
-    proc_u, t1u, exw_u = encode_uv(u8u, q, 0, ratio, oob0=oob_u)
+    def _u8_pairs(off, k=4):
+        return np.array(
+            [np.uint16(int(uf[off + 2 * i])
+                       | (int(uf[off + 2 * i + 1]) << 8)).view(np.int16)
+             for i in range(k)], np.int16)
+
+    tail_u = _u8_pairs(32768)
+    tail_v = _u8_pairs(v_off)
+    oob_v = int(tail_v[0])
+
+    proc_u, t1u, exw_u = encode_uv(u8u, q, 0, ratio, oob0=oob_u,
+                                   oob_tail=tail_u)
     quantize.serpentine_uv(im_nhw, proc_u, 0)
-    proc_v, t1v, exw_v = encode_uv(u8v, q, 1, ratio, oob0=oob_v)
+    proc_v, t1v, exw_v = encode_uv(u8v, q, 1, ratio, oob0=oob_v,
+                                   oob_tail=tail_v)
     quantize.serpentine_uv(im_nhw, proc_v, 1)
 
     sec["exw_Y"] = sec["exw_Y"] + [0, 0] + exw_u + [0, 0] + exw_v
@@ -1005,7 +1015,8 @@ def _uv_compare_ladder(jpeg: np.ndarray, process: np.ndarray,
 
 
 def _uv_sentinel_marking(process: np.ndarray, res256: np.ndarray,
-                         quality: int, res_uv: int) -> None:
+                         quality: int, res_uv: int,
+                         oob_tail: np.ndarray | None = None) -> None:
     """Band sentinels 12400/12600/12900/13000 (encoder/nhw_encoder.c:2372-
     2424).  The reference's count register advances by 2 on each
     12400/12600 placement; a placement at a row's final position overruns
@@ -1014,9 +1025,12 @@ def _uv_sentinel_marking(process: np.ndarray, res256: np.ndarray,
     for the drift overrun past 16384)."""
     from nhwcodec_tpu import native
 
+    tail = np.zeros(512, np.int16)
+    if oob_tail is not None:
+        t = np.asarray(oob_tail, np.int16)
+        tail[: t.size] = t
     rf_ext = np.concatenate([
-        np.ascontiguousarray(res256.reshape(-1), np.int16),
-        np.zeros(512, np.int16)])
+        np.ascontiguousarray(res256.reshape(-1), np.int16), tail])
 
     if native.available():
         lib = native._load()
@@ -1108,7 +1122,8 @@ def _uv_ll_smooth(process: np.ndarray) -> None:
 
 
 def encode_uv(plane_u8: np.ndarray, quality: int, component: int,
-              ratio: int = 8, oob0: int = 0):
+              ratio: int = 8, oob0: int = 0,
+              oob_tail: np.ndarray | None = None):
     """One chroma plane -> (quantized 256x256 code plane, tree1_uv[4096],
     exw continuation list).  component: 0=U, 1=V."""
     q = quality
@@ -1153,7 +1168,7 @@ def encode_uv(plane_u8: np.ndarray, quality: int, component: int,
 
     res_uv = 4 if q > T.LOW3 else 5
     if q >= T.LOW2:
-        _uv_sentinel_marking(process, res256, q, res_uv)
+        _uv_sentinel_marking(process, res256, q, res_uv, oob_tail)
 
     process[:128, :128] = resIII
 
