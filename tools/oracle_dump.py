@@ -155,6 +155,9 @@ _HOOKS = [
      'nhw_dump("dHQ_synth", wavelet_half_synthesis, 2*IM_SIZE*2);'
      'nhw_dump("dHQ_wfo", im->im_wavelet_first_order, IM_SIZE*2);'
      'nhw_dump("dHQ_band", im->im_wavelet_band, IM_SIZE*2);\n\t'),
+    # im_nhw immediately before the packetizer
+    ("nhw_encoder.c", 0, "\n\twavlts2packet(im,enc);", "before",
+     '\n\tnhw_dump("dPKT_imnhw", im->im_nhw, 6*IM_SIZE);'),
     # U sentinel-marking entry + the res256 OOB region it can drift into
     ("nhw_encoder.c", 0,
      "if (im->setup->quality_setting>=LOW2)\n\t{ \n\tfor (i=0,count=0,Y=0,e=0;i<(IM_SIZE>>1);i+=IM_DIM)",
@@ -272,6 +275,7 @@ _DTYPES = {
     "dLL_resIIIoob": ("<i2", None),
     "dV_process": ("<i2", (256, 256)), "dV_res256": ("<i2", (128, 128)),
     "dV_res256oob": ("<i2", None),
+    "dPKT_imnhw": ("u1", None),
     "dU2_res256oob": ("<i2", None), "dV3_res256oob": ("<i2", None),
     "dV2_process": ("<i2", (256, 256)), "dV2_res256": ("<i2", (128, 128)),
     "dV2_jpeg": ("<i2", (256, 256)),
