@@ -115,6 +115,17 @@ def photo_waves(seed: int = 99) -> np.ndarray:
         np.repeat(p[..., None], 3, axis=-1).astype(np.uint8))
 
 
+def boundary_noise(seed: int = 314159) -> np.ndarray:
+    """Flat field with noise in the last rows/columns: stresses the
+    plane-boundary code paths (row-final sentinel placements drive the
+    reference's count-register drift, last-row band cleanups)."""
+    rng = np.random.default_rng(seed)
+    img = np.full((512, 512, 3), 128, np.uint8)
+    img[-8:] = rng.integers(0, 256, (8, 512, 3))
+    img[:, -8:] = rng.integers(0, 256, (512, 8, 3))
+    return img
+
+
 EXTREME_GENERATORS = {
     "checker": checkerboard,
     "maxnoise": max_noise,
@@ -122,6 +133,7 @@ EXTREME_GENERATORS = {
     "allwhite": lambda: np.full((512, 512, 3), 255, np.uint8),
     "saturated": saturated_ramp,
     "photo2": photo_waves,
+    "boundary": boundary_noise,
 }
 
 
