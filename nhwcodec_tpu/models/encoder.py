@@ -861,14 +861,13 @@ def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
     sec.pop("_highres_tmp", None)
     # malloc traces of the reference (plain binary, zero-filled heap)
     # show V's res256 chunk slack aliases the freed downsampled-U byte
-    # plane at byte offset 32768 for every quality except q=LOW1, where
-    # the res3-era allocations shift the chunk by 4112 bytes (offset
-    # 36880).  Known limitation: at q>=HIGH1 some content-sized stream
-    # allocations can reseat the chunk onto other remnants (first-order
-    # plane); the value only matters when the compare ladder's final
-    # LL1 position sits exactly on the +-3 rule boundary (<1% of
-    # fuzzed images, a few stream bytes when hit).
-    v_off = 36880 if q == T.LOW1 else 32768
+    # plane at byte offset 32768.  Known limitation: content-sized
+    # stream allocations can reseat the chunk (by one 4KB slot at
+    # q=LOW1, or onto other remnants at q>=HIGH1); the value only
+    # matters when the compare ladder's final LL1 position sits exactly
+    # on the +-3 rule boundary (<0.5% of fuzzed images, a few stream
+    # bytes when hit).
+    v_off = 32768
 
     def _u8_pairs(off, k=4):
         return np.array(
