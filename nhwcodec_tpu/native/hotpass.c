@@ -984,6 +984,68 @@ int nhw_decode_uv(const uint8_t *bits, const int32_t *nt1,
 /* ------------------------------------------------------------------ */
 /* pre-filter kernel pass + q>LOW4 pair walk (ops/prefilter.py)        */
 
+/* 8-neighbour gradient sums over the interior (signed sum + abs sum),
+   matching ops/prefilter._gradient_sums (image_processing.c:605-618).
+   res/cnt must arrive zeroed (the border rows/cols stay 0). */
+void nhw_gradient_sums(const int16_t *p, int32_t *res, int32_t *cnt)
+{
+    int r, j;
+    for (r = 1; r < N - 1; r++) {
+        const int16_t *row = p + (long)r * N;
+        int32_t *rs = res + (long)r * N;
+        int32_t *cs = cnt + (long)r * N;
+        for (j = 1; j < N - 1; j++) {
+            int c = row[j];
+            int d0 = c - row[j - 1],     d1 = c - row[j + 1];
+            int d2 = c - row[j - N],     d3 = c - row[j + N];
+            int d4 = c - row[j - N + 1], d5 = c - row[j - N - 1];
+            int d6 = c - row[j + N - 1], d7 = c - row[j + N + 1];
+            rs[j] = d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7;
+            cs[j] = (d0 < 0 ? -d0 : d0) + (d1 < 0 ? -d1 : d1)
+                  + (d2 < 0 ? -d2 : d2) + (d3 < 0 ? -d3 : d3)
+                  + (d4 < 0 ? -d4 : d4) + (d5 < 0 ? -d5 : d5)
+                  + (d6 < 0 ? -d6 : d6) + (d7 < 0 ? -d7 : d7);
+        }
+    }
+}
+
+/* gradient sums fused with the q>LOW4 kernel automaton: one pass over
+   the luma plane, no res/cnt materialization (the res4 accumulator walks
+   the same raster order the sums are produced in). */
+void nhw_kernel_simple_fused(const int16_t *p, int32_t *out)
+{
+    int r, j;
+    int res4 = 0;
+    for (r = 1; r < N - 1; r++) {
+        const int16_t *row = p + (long)r * N;
+        int32_t *os = out + (long)r * N;
+        for (j = 1; j < N - 1; j++) {
+            int c = row[j];
+            int d0 = c - row[j - 1],     d1 = c - row[j + 1];
+            int d2 = c - row[j - N],     d3 = c - row[j + N];
+            int d4 = c - row[j - N + 1], d5 = c - row[j - N - 1];
+            int d6 = c - row[j + N - 1], d7 = c - row[j + N + 1];
+            int v = d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7;
+            int a = (d0 < 0 ? -d0 : d0) + (d1 < 0 ? -d1 : d1)
+                  + (d2 < 0 ? -d2 : d2) + (d3 < 0 ? -d3 : d3)
+                  + (d4 < 0 ? -d4 : d4) + (d5 < 0 ? -d5 : d5)
+                  + (d6 < 0 ? -d6 : d6) + (d7 < 0 ? -d7 : d7);
+            if (v < 0) {
+                res4 = 15 * (-v) + a + ((res4 + 2) >> 2);
+                os[j] = -(res4 >> 4);
+                res4 &= 15;
+            } else if (v > 0) {
+                res4 = 15 * v + a + ((res4 + 2) >> 2);
+                os[j] = res4 >> 4;
+                res4 &= 15;
+            } else {
+                os[j] = 0;
+                res4 = 0;
+            }
+        }
+    }
+}
+
 void nhw_kernel_simple(const int32_t *res, const int32_t *cnt, int32_t *out)
 {
     int r, j;

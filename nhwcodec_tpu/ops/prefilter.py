@@ -27,6 +27,19 @@ SZ4 = 4 * 65536
 def _gradient_sums(plane: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """res (signed 8-neighbour gradient sum) and count (abs sum) for the
     interior (encoder/image_processing.c:605-618)."""
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        pc = np.ascontiguousarray(plane, np.int16)
+        res = np.zeros((N, N), np.int32)
+        cnt = np.zeros((N, N), np.int32)
+        lib.nhw_gradient_sums(ffi.cast("int16_t *", pc.ctypes.data),
+                              ffi.cast("int32_t *", res.ctypes.data),
+                              ffi.cast("int32_t *", cnt.ctypes.data))
+        return res, cnt
+
     p = plane.astype(np.int32)
     res = np.zeros((N, N), np.int32)
     cnt = np.zeros((N, N), np.int32)
@@ -109,8 +122,19 @@ def kernel_for(yplane: np.ndarray, quality: int) -> np.ndarray:
     hit = _KERNEL_CACHE.get(key)
     if hit is not None:
         return hit
-    res_a, cnt_a = _gradient_sums(yplane)
-    k = _kernel_pass_simple(res_a, cnt_a)
+
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        pc = np.ascontiguousarray(yplane, np.int16)
+        k = np.zeros(SZ4, np.int32)
+        lib.nhw_kernel_simple_fused(ffi.cast("int16_t *", pc.ctypes.data),
+                                    ffi.cast("int32_t *", k.ctypes.data))
+    else:
+        res_a, cnt_a = _gradient_sums(yplane)
+        k = _kernel_pass_simple(res_a, cnt_a)
     _KERNEL_CACHE.clear()
     _KERNEL_CACHE[key] = k
     return k
