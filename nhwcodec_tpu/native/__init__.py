@@ -170,16 +170,25 @@ def _load():
 
         build_dir = _HERE / ("_build_asan" if asan else "_build")
         build_dir.mkdir(exist_ok=True)
+        # content-keyed cache: a stale .so from an older hotpass.c/cdef
+        # would load silently and miss new symbols
+        import hashlib
+
+        want = hashlib.sha256(
+            (src + _CDEF + " ".join(compile_args)).encode()).hexdigest()
+        stamp = _HERE / f"{stem}.buildhash"
+        have = stamp.read_text().strip() if stamp.exists() else None
         so_name = None
         for p in (_HERE).glob(f"{stem}.*.so"):
             so_name = p
             break
-        if so_name is None:
+        if so_name is None or have != want:
             ffi.compile(tmpdir=str(build_dir), verbose=False)
             import shutil
 
             for p in build_dir.glob(f"nhwcodec_tpu/native/{stem}*.so"):
                 shutil.copy(p, _HERE / p.name)
+            stamp.write_text(want)
         import importlib
 
         mod = importlib.import_module(f"nhwcodec_tpu.native.{stem}")
