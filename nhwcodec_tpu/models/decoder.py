@@ -510,6 +510,17 @@ def _uv_sharpen(proc: np.ndarray, quality: int) -> None:
 def _upsample2x(plane: np.ndarray) -> np.ndarray:
     """Bilinear x2, vertical then horizontal, u8 domain
     (decoder/nhw_decoder.c:1137-1181)."""
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        pc = np.ascontiguousarray(plane, np.int16)
+        out = np.empty((N, N), np.uint8)
+        lib.nhw_upsample2x(ffi.cast("int16_t *", pc.ctypes.data),
+                           ffi.cast("uint8_t *", out.ctypes.data))
+        return out
+
     p = plane.astype(np.int32)
     v = np.empty((N, D), dtype=np.int32)
     v[0: N - 2: 2] = p[: D - 1]

@@ -47,6 +47,7 @@ int nhw_decode_uv(const uint8_t *bits, const int32_t *nt1,
                   int16_t *out, long p1, long n_bits, long n_vals);
 void nhw_kernel_simple(const int32_t *res, const int32_t *cnt, int32_t *out);
 void nhw_gradient_sums(const int16_t *p, int32_t *res, int32_t *cnt);
+void nhw_upsample2x(const int16_t *p, uint8_t *out);
 void nhw_kernel_simple_fused(const int16_t *p, int32_t *out);
 void nhw_pair_walk_simple(int16_t *jf, const int32_t *kf);
 void nhw_quantize_band(int16_t *jf, int16_t *pf, int low4, int m1, int part,

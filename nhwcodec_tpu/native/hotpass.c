@@ -984,6 +984,38 @@ int nhw_decode_uv(const uint8_t *bits, const int32_t *nt1,
 /* ------------------------------------------------------------------ */
 /* pre-filter kernel pass + q>LOW4 pair walk (ops/prefilter.py)        */
 
+/* chroma bilinear x2 upsample, vertical then horizontal with the
+   (a+b+1)>>1 rounding of decoder/nhw_decoder.c:1137-1181; input is the
+   clipped 0..255 int16 (256,256) plane, output the (512,512) u8 plane */
+void nhw_upsample2x(const int16_t *p, uint8_t *out)
+{
+    uint8_t v[512 * 256];
+    int r, c;
+    for (r = 0; r < 255; r++) {
+        const int16_t *a = p + r * 256, *b = a + 256;
+        uint8_t *e = v + (long)2 * r * 256, *o = e + 256;
+        for (c = 0; c < 256; c++) {
+            e[c] = (uint8_t)a[c];
+            o[c] = (uint8_t)((a[c] + b[c] + 1) >> 1);
+        }
+    }
+    for (c = 0; c < 256; c++) {
+        uint8_t t = (uint8_t)p[255 * 256 + c];
+        v[510 * 256 + c] = t;
+        v[511 * 256 + c] = t;
+    }
+    for (r = 0; r < 512; r++) {
+        const uint8_t *row = v + (long)r * 256;
+        uint8_t *orow = out + (long)r * 512;
+        for (c = 0; c < 255; c++) {
+            orow[2 * c] = row[c];
+            orow[2 * c + 1] = (uint8_t)((row[c] + row[c + 1] + 1) >> 1);
+        }
+        orow[510] = row[255];
+        orow[511] = row[255];
+    }
+}
+
 /* 8-neighbour gradient sums over the interior (signed sum + abs sum),
    matching ops/prefilter._gradient_sums (image_processing.c:605-618).
    res/cnt must arrive zeroed (the border rows/cols stay 0). */
