@@ -200,8 +200,14 @@ def rgb_to_yuv420_device(rgb: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray,
     y = jnp.trunc(0.299 * r + 0.587 * g + 0.114 * b + 0.5).astype(jnp.int16)
     cb = -0.1687 * r - 0.3313 * g + 0.5 * b
     cr = 0.5 * r - 0.4187 * g - 0.0813 * b
-    u = jnp.clip(jnp.trunc(cb + 128.5), 0, 255).astype(jnp.int32)
-    v = jnp.clip(jnp.trunc(cr + 128.5), 0, 255).astype(jnp.int32)
+    # sign-dependent rounding constant per encoder/colorspace.c:76-81
+    # (+128.4f for negative chroma); float32 precision loss vs the
+    # reference's double sums remains — the bit-exact device colorspace
+    # is ops.colorspace_device
+    half = jnp.where(cb >= 0, jnp.float32(128.5), jnp.float32(128.4))
+    u = jnp.clip(jnp.trunc(cb + half), 0, 255).astype(jnp.int32)
+    half = jnp.where(cr >= 0, jnp.float32(128.5), jnp.float32(128.4))
+    v = jnp.clip(jnp.trunc(cr + half), 0, 255).astype(jnp.int32)
 
     def down(c):
         h = jnp.concatenate([

@@ -18,7 +18,7 @@ void nhw_histogram(const uint8_t *s, long p1, long p2,
 long nhw_emit(const uint8_t *s, long p1, long p2, int select, int zone,
               const int32_t *sym_pos, const int32_t *run_pos,
               const uint32_t *codes, const int32_t *lens,
-              uint32_t *words, long a_in, int pack_in,
+              uint32_t *words, long words_cap, long a_in, int pack_in,
               uint8_t *sel1_bits, long *n_sel1,
               uint8_t *sel2_bits, long *n_sel2,
               int *pack_out);
@@ -172,11 +172,24 @@ def _load():
         build_dir = _HERE / ("_build_asan" if asan else "_build")
         build_dir.mkdir(exist_ok=True)
         # content-keyed cache: a stale .so from an older hotpass.c/cdef
-        # would load silently and miss new symbols
+        # would load silently and miss new symbols.  The key includes the
+        # toolchain + machine fingerprint: with -march=native a cached
+        # extension carried to a different CPU would pass a source-only
+        # hash check and can SIGILL (which the except fallback can't
+        # catch).
         import hashlib
+        import platform
+        import subprocess
 
+        try:
+            ccver = subprocess.run(
+                ["cc", "--version"], capture_output=True, text=True,
+                timeout=10).stdout.splitlines()[0]
+        except Exception:  # noqa: BLE001
+            ccver = "cc-unknown"
         want = hashlib.sha256(
-            (src + _CDEF + " ".join(compile_args)).encode()).hexdigest()
+            (src + _CDEF + " ".join(compile_args) + ccver
+             + platform.machine()).encode()).hexdigest()
         stamp = _HERE / f"{stem}.buildhash"
         have = stamp.read_text().strip() if stamp.exists() else None
         so_name = None
@@ -184,12 +197,26 @@ def _load():
             so_name = p
             break
         if so_name is None or have != want:
-            ffi.compile(tmpdir=str(build_dir), verbose=False)
+            # serialize concurrent first-builds (spawn-pool workers all
+            # import on a cold cache) and publish the .so atomically
+            import fcntl
             import shutil
 
-            for p in build_dir.glob(f"nhwcodec_tpu/native/{stem}*.so"):
-                shutil.copy(p, _HERE / p.name)
-            stamp.write_text(want)
+            lock_path = build_dir / ".lock"
+            with open(lock_path, "w") as lock:
+                fcntl.flock(lock, fcntl.LOCK_EX)
+                have = stamp.read_text().strip() if stamp.exists() else None
+                so_name = next(iter(_HERE.glob(f"{stem}.*.so")), None)
+                if so_name is None or have != want:
+                    ffi.compile(tmpdir=str(build_dir), verbose=False)
+                    for p in build_dir.glob(
+                            f"nhwcodec_tpu/native/{stem}*.so"):
+                        tmp = _HERE / (p.name + ".tmp")
+                        shutil.copy(p, tmp)
+                        os.replace(tmp, _HERE / p.name)
+                    tmp_stamp = _HERE / f"{stem}.buildhash.tmp"
+                    tmp_stamp.write_text(want)
+                    os.replace(tmp_stamp, stamp)
         import importlib
 
         mod = importlib.import_module(f"nhwcodec_tpu.native.{stem}")

@@ -39,7 +39,7 @@ void nhw_histogram(const uint8_t *s, long p1, long p2,
 long nhw_emit(const uint8_t *s, long p1, long p2, int select, int zone,
               const int32_t *sym_pos, const int32_t *run_pos,
               const uint32_t *codes, const int32_t *lens,
-              uint32_t *words, long a_in, int pack_in,
+              uint32_t *words, long words_cap, long a_in, int pack_in,
               uint8_t *sel1_bits, long *n_sel1,
               uint8_t *sel2_bits, long *n_sel2,
               int *pack_out)
@@ -90,6 +90,7 @@ long nhw_emit(const uint8_t *s, long p1, long p2, int select, int zone,
                 int match = pack - 32;
                 words[a] |= code >> match;
                 a += 1;
+                if (a >= words_cap) return -1;  /* caller raises */
                 words[a] |= (uint32_t)(code << (32 - match));
                 pack = match;
             }

@@ -397,10 +397,15 @@ def _wavlts2packet_native(im_nhw: np.ndarray, native) -> PacketResult:
                          ffi.cast("int32_t *", run_pos.ctypes.data),
                          ffi.cast("uint32_t *", codes.ctypes.data),
                          ffi.cast("int32_t *", lens.ctypes.data),
-                         wp, a, pack,
+                         wp, words.size, a, pack,
                          ffi.cast("uint8_t *", sel1.ctypes.data), n_sel1,
                          ffi.cast("uint8_t *", sel2.ctypes.data), n_sel2,
                          pack_out)
+        if a < 0:
+            # mirrors the reference's overload guard
+            # (encoder/compress_pixel.c:234,270-271) but fails cleanly
+            # instead of corrupting the heap
+            raise OverflowError("packed stream exceeds word buffer")
         pack = pack_out[0]
 
         if part == 0:

@@ -232,11 +232,27 @@ def encode_corpus(bmp_paths: list[str], out_dir: Path | str,
     t0 = time.perf_counter()
     m = BatchMetrics()
     if todo:
+        # collision-free output names: inputs with equal basenames in
+        # different directories must not overwrite each other's .nhw
+        import hashlib
+
+        names: dict[str, str] = {}
+        stems_seen: dict[str, str] = {}
+        for p in [str(p) for p in bmp_paths]:
+            stem = Path(p).stem
+            other = stems_seen.get(stem)
+            if other is None:
+                stems_seen[stem] = p
+        for p in todo:
+            stem = Path(p).stem
+            if stems_seen.get(stem) != p:
+                stem = f"{stem}-{hashlib.sha1(p.encode()).hexdigest()[:8]}"
+            names[p] = stem + ".nhw"
         images = np.stack([bmp_io.read_bmp512(p) for p in todo])
         results, m = encode_batch(images, quality, workers)
         for p, data in zip(todo, results):
             if data is not None:
-                out = out_dir / (Path(p).stem + ".nhw")
+                out = out_dir / names[p]
                 out.write_bytes(data)
                 manifest.mark(p, str(out))
     m.wall_s = time.perf_counter() - t0

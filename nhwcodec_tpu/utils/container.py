@@ -408,31 +408,53 @@ def dead_tail_byte_positions(data: bytes) -> set[int]:
     if q > T.LOW8:
         pos += res1_len + res1_bit
         word = res1_bit  # word plane length == bit length for res1
-        dead.update({pos + word - 2, pos + word - 1})
+        # only positions inside the section are dead: a zero-length
+        # word plane must not mask the preceding live section's tail
+        if word >= 2:
+            dead.update({pos + word - 2, pos + word - 1})
+        elif word == 1:
+            dead.add(pos)
         pos += word
     if q > T.LOW3:
         pos += res4_len
     if q >= T.LOW1:
         pos += res3_len + res3_bit
         word = 2 * res3_bit
-        dead.update({pos + word - 2, pos + word - 1})
+        # only positions inside the section are dead: a zero-length
+        # word plane must not mask the preceding live section's tail
+        if word >= 2:
+            dead.update({pos + word - 2, pos + word - 1})
+        elif word == 1:
+            dead.add(pos)
         pos += word
     if q >= T.HIGH1:
         pos += res5_len + res5_bit
         word = res5_bit
-        dead.update({pos + word - 2, pos + word - 1})
+        # only positions inside the section are dead: a zero-length
+        # word plane must not mask the preceding live section's tail
+        if word >= 2:
+            dead.update({pos + word - 2, pos + word - 1})
+        elif word == 1:
+            dead.add(pos)
         pos += word
     if q > T.HIGH1:
         pos += res6_len + res6_bit
         word = res6_bit
-        dead.update({pos + word - 2, pos + word - 1})
+        # only positions inside the section are dead: a zero-length
+        # word plane must not mask the preceding live section's tail
+        if word >= 2:
+            dead.update({pos + word - 2, pos + word - 1})
+        elif word == 1:
+            dead.add(pos)
         pos += word
         pos += 2 * char_res1
     if q > T.HIGH2:
         pos += 4 * qset3
-    dead.add(pos + sel1 - 1)
+    if sel1 >= 1:
+        dead.add(pos + sel1 - 1)
     pos += sel1
-    dead.add(pos + sel2 - 1)
+    if sel2 >= 1:
+        dead.add(pos + sel2 - 1)
     return dead
 
 
