@@ -1,0 +1,170 @@
+"""Bit-exact device colorspace: RGB -> YUV 4:2:0, all 23 qualities.
+
+Replicates encoder/colorspace.c:55-260 (downsample_YUV420) exactly on
+device: the double-precision sums, the float32 chroma intermediate, the
+sign-dependent +128.5f/+128.4f rounding, the LOW1-LOW3 gains and the
+integer Qtz path — using ops.softfloat for the float semantics (pure
+int64 lanes: identical bits on CPU jax, TPU and the numpy host oracle).
+
+The per-channel coefficient products fl64(c * x), x in 0..255, are exact
+256-entry (s, m, e) LUTs precomputed on host in numpy float64; on device
+each pixel gathers its three channel products and replays the reference's
+add/mul/convert/trunc sequence.
+
+Public entry: ``rgb_to_yuv420_device_exact(rgb, quality)`` — jitted per
+quality, x64-traced.  Verified against the (oracle-dump-verified) host
+path over all 2^24 RGB triples (tests/test_colorspace_device.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from nhwcodec_tpu import tables as T
+from nhwcodec_tpu.ops import softfloat as sf
+from nhwcodec_tpu.ops.colorspace import QTZ
+
+# the double matrix rows (encoder/colorspace.c:71-81); each product
+# fl64(c * x) is replayed on device as an exact int64 multiply + RNE
+# renormalize (softfloat.mul_small_int) — no per-pixel gathers
+_CO_Y = tuple(sf.pack_const(c) for c in (0.299, 0.587, 0.114))
+_CO_U = tuple(sf.pack_const(c) for c in (-0.1687, -0.3313, 0.5))
+_CO_V = tuple(sf.pack_const(c) for c in (0.5, -0.4187, -0.0813))
+
+_HALF = sf.pack_const(0.5)
+_HALF_P32 = None  # filled below: float32 128.5f / 128.4f
+_HALF_N32 = None
+
+
+def _pack_f32_const(value: float) -> tuple[int, int, int]:
+    s, m, e = sf.pack_f64(np.float64(np.float32(value)))
+    # renormalize 53 -> 24 bit mantissa (exact: value is a float32)
+    m = int(m) >> 29
+    return int(s), m, int(e)
+
+
+_HALF_P32 = _pack_f32_const(128.5)
+_HALF_N32 = _pack_f32_const(128.4)
+
+# the LOW1/LOW2 Y gains are float variables promoted back to double
+# (encoder/colorspace.c:105-108); LOW3 uses the double literal 0.94
+_GAIN = {
+    T.LOW1: sf.pack_const(float(np.float32(0.975))),
+    T.LOW2: sf.pack_const(float(np.float32(0.93))),
+    T.LOW3: sf.pack_const(0.94),
+}
+
+
+def _sum3(p1, p2, p3, xp):
+    """((p1 + p2) + p3) in binary64, C left-to-right order."""
+    return sf.add(sf.add(p1, p2, 53, xp), p3, 53, xp)
+
+
+def _chroma(v64, xp):
+    """double sum -> float color_balance -> sign-dependent +128.5f/.4f
+    float add -> (int) trunc (encoder/colorspace.c:76-81)."""
+    v32 = sf.narrow_to_f32(v64, xp)
+    pos = sf.is_nonneg(v32, xp)
+    s, m, e = v32
+    hp = tuple(xp.full(s.shape, c, dtype=xp.int64) for c in _HALF_P32)
+    hn = tuple(xp.full(s.shape, c, dtype=xp.int64) for c in _HALF_N32)
+    half = tuple(xp.where(pos, a, b) for a, b in zip(hp, hn))
+    w = sf.add(v32, half, 24, xp)
+    return sf.trunc_to_int(w, 24, xp)
+
+
+def _const_bcast(c, like, xp):
+    return tuple(xp.full(like.shape, v, dtype=xp.int64) for v in c)
+
+
+def _clip_u8(v, xp):
+    """The reference's (v>>8)!=0 clip pattern."""
+    v = v.astype(xp.int32)
+    return xp.where((v >> 8) != 0, xp.where(v < 0, 0, 255), v)
+
+
+def _yuv_full(rgb, quality: int, xp):
+    """(..., 512, 512, 3) uint8 -> (Y int16 ..., U, V uint8 512x512
+    pre-downsample), replicating the per-quality matrix paths."""
+    r = rgb[..., 0].astype(xp.int32)
+    g = rgb[..., 1].astype(xp.int32)
+    b = rgb[..., 2].astype(xp.int32)
+
+    if quality <= T.LOW4:
+        qtz = QTZ[quality]
+        y = (((66 * r + 129 * g + 25 * b) * qtz + 4194304) >> 23) + 16
+        u = (((-38 * r - 74 * g + 112 * b) * qtz + 4194304) >> 23) + 128
+        v = (((112 * r - 94 * g - 18 * b) * qtz + 4194304) >> 23) + 128
+        return (y.astype(xp.int16), _clip_u8(u, xp).astype(xp.uint8),
+                _clip_u8(v, xp).astype(xp.uint8))
+
+    ys = _sum3(sf.mul_small_int(_CO_Y[0], r, xp),
+               sf.mul_small_int(_CO_Y[1], g, xp),
+               sf.mul_small_int(_CO_Y[2], b, xp), xp)
+    cb = _sum3(sf.mul_small_int(_CO_U[0], r, xp),
+               sf.mul_small_int(_CO_U[1], g, xp),
+               sf.mul_small_int(_CO_U[2], b, xp), xp)
+    cr = _sum3(sf.mul_small_int(_CO_V[0], r, xp),
+               sf.mul_small_int(_CO_V[1], g, xp),
+               sf.mul_small_int(_CO_V[2], b, xp), xp)
+
+    if quality in (T.LOW1, T.LOW2, T.LOW3):
+        ys = sf.mul_const(ys, _GAIN[quality], 53, xp)
+    if quality == T.LOW3:
+        cb = sf.mul_const(cb, _GAIN[T.LOW3], 53, xp)
+        cr = sf.mul_const(cr, _GAIN[T.LOW3], 53, xp)
+
+    y = sf.trunc_to_int(
+        sf.add(ys, _const_bcast(_HALF, ys[0], xp), 53, xp), 53, xp)
+    u = _chroma(cb, xp)
+    v = _chroma(cr, xp)
+    return (y.astype(xp.int16), _clip_u8(u, xp).astype(xp.uint8),
+            _clip_u8(v, xp).astype(xp.uint8))
+
+
+def _down420(c, xp):
+    """Integer 4:2:0 chroma downsample (encoder/colorspace.c:220-256):
+    horizontal [1,2,1]/4 at even columns (first pair-averaged), then the
+    same vertically.  (..., 512, 512) -> (..., 256, 256) uint8."""
+    c = c.astype(xp.int32)
+    h = xp.concatenate([
+        (c[..., :, :1] + c[..., :, 1:2] + 1) >> 1,
+        (c[..., :, 1:510:2] + 2 * c[..., :, 2:511:2]
+         + c[..., :, 3:512:2] + 2) >> 2], axis=-1)
+    o = xp.concatenate([
+        (h[..., :1, :] + h[..., 1:2, :] + 1) >> 1,
+        (h[..., 1:510:2, :] + 2 * h[..., 2:511:2, :]
+         + h[..., 3:512:2, :] + 2) >> 2], axis=-2)
+    return o.astype(xp.uint8)
+
+
+def rgb_to_yuv420_host_exact(rgb: np.ndarray, quality: int):
+    """Numpy replay of the device program (same code, xp=np) — used by
+    the exhaustiveness tests to cross-check the jax path."""
+    y, u, v = _yuv_full(np.asarray(rgb, np.uint8), quality, np)
+    return y, _down420(u, np), _down420(v, np)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted(quality: int):
+    import jax
+    import jax.numpy as jnp
+
+    def run(rgb):
+        y, u, v = _yuv_full(rgb, quality, jnp)
+        return y, _down420(u, jnp), _down420(v, jnp)
+
+    return jax.jit(run)
+
+
+def rgb_to_yuv420_device_exact(rgb, quality: int):
+    """Bit-exact batched device colorspace.  rgb: (..., 512, 512, 3)
+    uint8 (device or host).  Returns (Y (..., 512,512) int16,
+    U, V (..., 256,256) uint8) device arrays equal to the host path
+    (ops.colorspace.downsample_yuv420) for every input and quality."""
+    import jax
+
+    with jax.enable_x64(True):
+        return _jitted(quality)(rgb)
