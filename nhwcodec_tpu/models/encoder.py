@@ -138,23 +138,36 @@ def _tree1_tail(yplane: np.ndarray, quality: int, offset: int):
 
 
 def encode_y(yplane: np.ndarray, quality: int, ratio: int = 8,
-             y_original: np.ndarray | None = None):
+             y_original: np.ndarray | None = None, pre=None):
     """Y pipeline: (512,512) int16 pre-processed luma -> quantized
     serpentine stream + all Y side sections.  Returns (im_nhw, sections).
     ``y_original``: the un-prefiltered luma (the reference's heap-tail
     kernel aliasing reads derive from it, see _tree1_tail).
+    ``pre``: optional device-computed transform state (jpeg, process,
+    res256, snap) from models.device_stages.analysis_y — bit-identical
+    to the host analysis below; the host scans continue from it.
     """
     q = quality
     if y_original is None:
         y_original = yplane
     sec: dict = {}
-    jpeg = yplane.astype(np.int16).copy()
-    process = np.zeros((N, N), np.int16)
+    if pre is not None:
+        jpeg, process, res256, snap = pre
+        # np.array: the host scans mutate these in place (device-exported
+        # buffers are read-only views)
+        jpeg = np.array(jpeg, np.int16)
+        process = np.array(process, np.int16)
+        res256 = np.array(res256, np.int16)
+        snap = (None if snap is None
+                else np.array(snap, np.int16).reshape(-1))
+    else:
+        jpeg = yplane.astype(np.int16).copy()
+        process = np.zeros((N, N), np.int16)
 
-    snap = analysis.wavelet_analysis(jpeg, process, N, 0, 0,
-                                     snapshot=q > T.HIGH1)
-    res256 = jpeg[:D, :D].copy()
-    analysis.wavelet_analysis(jpeg, process, D, 1, 0)
+        snap = analysis.wavelet_analysis(jpeg, process, N, 0, 0,
+                                         snapshot=q > T.HIGH1)
+        res256 = jpeg[:D, :D].copy()
+        analysis.wavelet_analysis(jpeg, process, D, 1, 0)
 
     if q > T.LOW14:
         requant.mark_res256(process, res256)
@@ -838,10 +851,13 @@ def _pair_promotion(pf: np.ndarray, q: int) -> None:
 
 def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
                        u8v: np.ndarray, quality: int,
-                       y_original: np.ndarray | None = None) -> bytes:
+                       y_original: np.ndarray | None = None,
+                       pre_y=None, pre_u=None, pre_v=None) -> bytes:
     """Full encode given the (possibly pre-processed) Y plane and the
     downsampled chroma planes — everything after colorspace/pre-filter
-    (encoder/nhw_encoder.c:121-2878 + write_compressed_file)."""
+    (encoder/nhw_encoder.c:121-2878 + write_compressed_file).
+    ``pre_y``/``pre_u``/``pre_v``: device-computed transform states
+    (models.device_stages) — the host scans consume them directly."""
     from nhwcodec_tpu.ops import entropy_enc
     from nhwcodec_tpu.utils import container
 
@@ -849,7 +865,7 @@ def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
     ratio = 8
     if y_original is None:
         y_original = yplane
-    im_nhw, sec = encode_y(yplane, q, ratio, y_original)
+    im_nhw, sec = encode_y(yplane, q, ratio, y_original, pre=pre_y)
 
     # what the reference's compare ladder reads one short past its
     # res256 chunk: the chunk slack aliases the U plane's bytes at flat
@@ -880,10 +896,10 @@ def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
     oob_v = int(tail_v[0])
 
     proc_u, t1u, exw_u = encode_uv(u8u, q, 0, ratio, oob0=oob_u,
-                                   oob_tail=tail_u)
+                                   oob_tail=tail_u, pre=pre_u)
     quantize.serpentine_uv(im_nhw, proc_u, 0)
     proc_v, t1v, exw_v = encode_uv(u8v, q, 1, ratio, oob0=oob_v,
-                                   oob_tail=tail_v)
+                                   oob_tail=tail_v, pre=pre_v)
     quantize.serpentine_uv(im_nhw, proc_v, 1)
 
     sec["exw_Y"] = sec["exw_Y"] + [0, 0] + exw_u + [0, 0] + exw_v
@@ -924,6 +940,45 @@ def encode(pixels: np.ndarray, quality: int = 20) -> bytes:
     if quality < T.HIGH2:
         y = prefilter.pre_process_y(y, quality)
     return encode_from_planes(y, u, v, quality, y_original=y_orig)
+
+
+def encode_device(pixels: np.ndarray, quality: int = 20) -> bytes:
+    """Encode with the transform front end on the device: exact
+    colorspace (ops.colorspace_device) and both analysis levels
+    (models.device_stages) run on the chip; the raster scans and entropy
+    stage consume the device outputs.  Byte-identical to encode().
+
+    Single-image convenience wrapper; the batched pipelined path is
+    parallel.device_pipeline.encode_batch_device."""
+    from nhwcodec_tpu.models import device_stages as ds
+    from nhwcodec_tpu.ops import prefilter
+
+    rgb = np.asarray(pixels, np.uint8)[None]
+    if quality > T.HIGH1:
+        (y, u, v), pre_y, pre_u, pre_v = ds.encode_front_device(
+            rgb, quality)
+        return encode_from_planes(
+            np.ascontiguousarray(y[0]), np.ascontiguousarray(u[0]),
+            np.ascontiguousarray(v[0]), quality,
+            y_original=np.ascontiguousarray(y[0]),
+            pre_y=tuple(a[0] for a in pre_y),
+            pre_u=tuple(a[0] for a in pre_u),
+            pre_v=tuple(a[0] for a in pre_v))
+
+    y, u, v = ds.colorspace_front_device(rgb, quality)
+    y_orig = np.ascontiguousarray(y[0])
+    y1 = (prefilter.pre_process_y(y_orig, quality)
+          if quality < T.HIGH2 else y_orig)
+    pre_y, pre_u, pre_v = ds.analysis_front_device(
+        y1[None], u, v, quality)
+    pre_y = tuple(a[0] for a in pre_y[:3]) + (
+        pre_y[3][0] if quality > T.HIGH1 else None,)
+    return encode_from_planes(
+        y1, np.ascontiguousarray(u[0]), np.ascontiguousarray(v[0]),
+        quality, y_original=y_orig,
+        pre_y=pre_y,
+        pre_u=tuple(a[0] for a in pre_u),
+        pre_v=tuple(a[0] for a in pre_v))
 
 
 def encode_bmp(bmp_path, nhw_path, quality: int = 20) -> None:
@@ -1122,38 +1177,46 @@ def _uv_ll_smooth(process: np.ndarray) -> None:
 
 def encode_uv(plane_u8: np.ndarray, quality: int, component: int,
               ratio: int = 8, oob0: int = 0,
-              oob_tail: np.ndarray | None = None):
+              oob_tail: np.ndarray | None = None, pre=None):
     """One chroma plane -> (quantized 256x256 code plane, tree1_uv[4096],
-    exw continuation list).  component: 0=U, 1=V."""
+    exw continuation list).  component: 0=U, 1=V.
+    ``pre``: optional device-computed (jpeg, process, res256) from
+    models.device_stages.analysis_uv."""
     q = quality
-    jpeg = plane_u8.astype(np.int16).copy()
-    process = np.zeros((D, D), np.int16)
+    if pre is not None:
+        jpeg, process, res256 = pre
+        jpeg = np.array(jpeg, np.int16)
+        process = np.array(process, np.int16)
+        res256 = np.array(res256, np.int16)
+    else:
+        jpeg = plane_u8.astype(np.int16).copy()
+        process = np.zeros((D, D), np.int16)
 
-    if q <= T.LOW6:
-        process[:] = jpeg  # pre_processing_UV copies then nudges jpeg
-        _pre_processing_uv(jpeg, q)
+        if q <= T.LOW6:
+            process[:] = jpeg  # pre_processing_UV copies then nudges jpeg
+            _pre_processing_uv(jpeg, q)
 
-    analysis.wavelet_analysis(jpeg, process, D, 0, 0)
-    res256 = jpeg[:128, :128].copy()
+        analysis.wavelet_analysis(jpeg, process, D, 0, 0)
+        res256 = jpeg[:128, :128].copy()
 
-    if q <= T.LOW4:
-        pf = process.reshape(-1)
-        for r in range(128):
-            for j in range(128, 256):
-                v = abs(int(pf[r * D + j]))
-                if ratio <= v < 24:
-                    pf[r * D + j] = 0
-        for r in range(128, 256):
-            for j in range(128):
-                v = abs(int(pf[r * D + j]))
-                if ratio <= v < 32:
-                    pf[r * D + j] = 0
-            for j in range(128, 256):
-                v = abs(int(pf[r * D + j]))
-                if ratio <= v < 48:
-                    pf[r * D + j] = 0
+        if q <= T.LOW4:
+            pf = process.reshape(-1)
+            for r in range(128):
+                for j in range(128, 256):
+                    v = abs(int(pf[r * D + j]))
+                    if ratio <= v < 24:
+                        pf[r * D + j] = 0
+            for r in range(128, 256):
+                for j in range(128):
+                    v = abs(int(pf[r * D + j]))
+                    if ratio <= v < 32:
+                        pf[r * D + j] = 0
+                for j in range(128, 256):
+                    v = abs(int(pf[r * D + j]))
+                    if ratio <= v < 48:
+                        pf[r * D + j] = 0
 
-    analysis.wavelet_analysis(jpeg, process, 128, 1, 0)
+        analysis.wavelet_analysis(jpeg, process, 128, 1, 0)
 
     requant.offset_uv_recons256(jpeg, process, q, ratio, comp=1)
     analysis.wavelet_synthesis(jpeg, process, 128, 0)

@@ -6,10 +6,11 @@ sign-dependent +128.5f/+128.4f rounding, the LOW1-LOW3 gains and the
 integer Qtz path — using ops.softfloat for the float semantics (pure
 int64 lanes: identical bits on CPU jax, TPU and the numpy host oracle).
 
-The per-channel coefficient products fl64(c * x), x in 0..255, are exact
-256-entry (s, m, e) LUTs precomputed on host in numpy float64; on device
-each pixel gathers its three channel products and replays the reference's
-add/mul/convert/trunc sequence.
+Each per-channel coefficient product fl64(c * x), x in 0..255, is an
+exact int64 multiply + RNE renormalize on device (softfloat.mul_small_int
+— no per-pixel gathers, which are the slow path on the TPU VPU); the
+add/mul/convert/trunc sequence then replays the reference's expression
+order exactly.
 
 Public entry: ``rgb_to_yuv420_device_exact(rgb, quality)`` — jitted per
 quality, x64-traced.  Verified against the (oracle-dump-verified) host
@@ -21,6 +22,11 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+
+try:
+    import jax
+except Exception:  # noqa: BLE001 — host-only use
+    jax = None
 
 from nhwcodec_tpu import tables as T
 from nhwcodec_tpu.ops import softfloat as sf
@@ -85,15 +91,18 @@ def _clip_u8(v, xp):
     return xp.where((v >> 8) != 0, xp.where(v < 0, 0, 255), v)
 
 
-def _yuv_full(rgb, quality: int, xp):
+def _yuv_full(rgb, quality: int, xp, qtz=None):
     """(..., 512, 512, 3) uint8 -> (Y int16 ..., U, V uint8 512x512
-    pre-downsample), replicating the per-quality matrix paths."""
+    pre-downsample), replicating the per-quality matrix paths.
+    ``qtz``: optional traced scalar override of the integer-path Qtz
+    (lets the 16 q<=LOW4 qualities share one compiled program)."""
     r = rgb[..., 0].astype(xp.int32)
     g = rgb[..., 1].astype(xp.int32)
     b = rgb[..., 2].astype(xp.int32)
 
     if quality <= T.LOW4:
-        qtz = QTZ[quality]
+        if qtz is None:
+            qtz = QTZ[quality]
         y = (((66 * r + 129 * g + 25 * b) * qtz + 4194304) >> 23) + 16
         u = (((-38 * r - 74 * g + 112 * b) * qtz + 4194304) >> 23) + 128
         v = (((112 * r - 94 * g - 18 * b) * qtz + 4194304) >> 23) + 128
@@ -147,14 +156,28 @@ def rgb_to_yuv420_host_exact(rgb: np.ndarray, quality: int):
     return y, _down420(u, np), _down420(v, np)
 
 
+def program_key(quality: int) -> int:
+    """Qualities sharing one compiled colorspace program: all q >= NORM
+    share the plain float path; each gain quality is its own program;
+    all integer-path qualities share one program (Qtz is a traced
+    scalar)."""
+    if quality >= T.NORM:
+        return T.NORM
+    if quality in (T.LOW1, T.LOW2, T.LOW3):
+        return quality
+    return T.LOW4
+
+
 @functools.lru_cache(maxsize=None)
-def _jitted(quality: int):
+def _jitted(key: int):
     import jax
     import jax.numpy as jnp
 
-    def run(rgb):
-        y, u, v = _yuv_full(rgb, quality, jnp)
-        return y, _down420(u, jnp), _down420(v, jnp)
+    def run(rgb, qtz):
+        with jax.named_scope("nhw.colorspace.matrix"):
+            y, u, v = _yuv_full(rgb, key, jnp, qtz=qtz)
+        with jax.named_scope("nhw.colorspace.down420"):
+            return y, _down420(u, jnp), _down420(v, jnp)
 
     return jax.jit(run)
 
@@ -165,6 +188,8 @@ def rgb_to_yuv420_device_exact(rgb, quality: int):
     U, V (..., 256,256) uint8) device arrays equal to the host path
     (ops.colorspace.downsample_yuv420) for every input and quality."""
     import jax
+    import jax.numpy as jnp
 
+    qtz = jnp.int32(QTZ.get(quality, 0))
     with jax.enable_x64(True):
-        return _jitted(quality)(rgb)
+        return _jitted(program_key(quality))(rgb, qtz)

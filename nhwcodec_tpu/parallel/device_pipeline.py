@@ -1,0 +1,111 @@
+"""Pipelined batch encode with the transform front end on the TPU.
+
+Per chunk of the batch, the stages are:
+
+  D1  device: exact colorspace (ops.colorspace_device)      [chip]
+  H1  host:   Y pre-filter raster automaton (q < HIGH2)     [C scans]
+  D2  device: both analysis levels (models.device_stages)   [chip]
+  H2  host:   requant/residue/quantize/entropy/container    [C scans]
+
+Chunks run on a thread pool: while one chunk's host scans run (the cffi
+C calls release the GIL), other chunks' device launches and host scans
+proceed — so device and host stages overlap and the chip is load-bearing
+for every byte produced (the output is byte-identical to the host-only
+``encode``; tests/test_device_encode.py).
+
+For q > HIGH1 (no Y pre-filter) D1+D2 fuse into one launch.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from nhwcodec_tpu import tables as T
+from nhwcodec_tpu.parallel.api import BatchMetrics
+
+
+def _encode_chunk_device(images: np.ndarray, quality: int,
+                         out: list, idxs: list[int]) -> int:
+    """Run one chunk through D1/H1/D2/H2; returns failure count."""
+    from nhwcodec_tpu.models import device_stages as ds
+    from nhwcodec_tpu.models.encoder import encode_from_planes
+    from nhwcodec_tpu.ops import prefilter
+
+    failures = 0
+    try:
+        if quality > T.HIGH1:
+            (y, u, v), pre_y, pre_u, pre_v = ds.encode_front_device(
+                images, quality)
+            y1s = [np.ascontiguousarray(y[i]) for i in range(len(idxs))]
+            origs = y1s
+        else:
+            y, u, v = ds.colorspace_front_device(images, quality)
+            origs = [np.ascontiguousarray(y[i]) for i in range(len(idxs))]
+            if quality < T.HIGH2:
+                y1s = [prefilter.pre_process_y(o, quality) for o in origs]
+            else:
+                y1s = origs
+            pre_y, pre_u, pre_v = ds.analysis_front_device(
+                np.stack(y1s), u, v, quality)
+    except Exception:  # noqa: BLE001 — whole-chunk device failure
+        return len(idxs)
+
+    snap_on = quality > T.HIGH1
+    for k, i in enumerate(idxs):
+        try:
+            py = (pre_y[0][k], pre_y[1][k], pre_y[2][k],
+                  pre_y[3][k] if snap_on else None)
+            out[i] = encode_from_planes(
+                y1s[k], np.ascontiguousarray(u[k]),
+                np.ascontiguousarray(v[k]), quality,
+                y_original=origs[k],
+                pre_y=py,
+                pre_u=tuple(a[k] for a in pre_u),
+                pre_v=tuple(a[k] for a in pre_v))
+        except Exception:  # noqa: BLE001 — per-image failure isolation
+            failures += 1
+    return failures
+
+
+def encode_batch_device(images: np.ndarray, quality: int = 20,
+                        workers: int | None = None,
+                        chunk: int | None = None
+                        ) -> tuple[list[bytes | None], BatchMetrics]:
+    """Encode a (B, 512, 512, 3) uint8 batch with device transforms.
+
+    Returns (bitstreams in submission order — None for failures — and
+    metrics).  ``workers``: host thread count (default: cpu count);
+    ``chunk``: images per device launch (default: B/workers capped 16).
+    """
+    import jax
+
+    jax.devices()  # initialize the backend on the main thread: plugin
+    # discovery (the axon tunnel) is not thread-safe on first touch
+    t0 = time.perf_counter()
+    b = len(images)
+    n_workers = workers or os.cpu_count() or 1
+    if chunk is None:
+        chunk = max(1, min(16, -(-b // n_workers)))
+    out: list[bytes | None] = [None] * b
+    m = BatchMetrics(images=b, megapixels=b * 512 * 512 / 1e6)
+
+    jobs = []
+    for lo in range(0, b, chunk):
+        idxs = list(range(lo, min(lo + chunk, b)))
+        jobs.append((np.ascontiguousarray(images[lo: lo + chunk]), idxs))
+
+    if n_workers == 1 or len(jobs) == 1:
+        for imgs, idxs in jobs:
+            m.failures += _encode_chunk_device(imgs, quality, out, idxs)
+    else:
+        with ThreadPoolExecutor(max_workers=n_workers) as ex:
+            futs = [ex.submit(_encode_chunk_device, imgs, quality, out,
+                              idxs) for imgs, idxs in jobs]
+            for f in futs:
+                m.failures += f.result()
+    m.wall_s = time.perf_counter() - t0
+    return out, m
