@@ -111,6 +111,22 @@ def _device_numbers(b: int = 64) -> dict:
 
     out["device_decode_transform_mp_s"] = mp / _per_iter(
         _chain(dec_scalar), yc, 2, 26)
+
+    # the prefix-sum bit packer (tokens -> u32 words), Mtokens/s
+    from nhwcodec_tpu.ops.entropy_device import (_tokens_to_codes_zone,
+                                                 pack_bits_device)
+
+    ntok = 1 << 18
+    toks = jax.device_put(
+        rng.integers(0, 354, (ntok,)).astype(np.int32))
+
+    def pack_scalar(pos):
+        codes, lens = _tokens_to_codes_zone(pos % 354)
+        w = pack_bits_device(codes, lens, 80000)
+        return w.astype(jnp.int32).sum()
+
+    it = _per_iter(_chain(pack_scalar), toks, 2, 26)
+    out["device_pack_mtok_s"] = ntok / it / 1e6
     return {k: round(v, 1) for k, v in out.items()}
 
 

@@ -852,7 +852,8 @@ def _pair_promotion(pf: np.ndarray, q: int) -> None:
 def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
                        u8v: np.ndarray, quality: int,
                        y_original: np.ndarray | None = None,
-                       pre_y=None, pre_u=None, pre_v=None) -> bytes:
+                       pre_y=None, pre_u=None, pre_v=None,
+                       device_pack: bool = False) -> bytes:
     """Full encode given the (possibly pre-processed) Y plane and the
     downsampled chroma planes — everything after colorspace/pre-filter
     (encoder/nhw_encoder.c:121-2878 + write_compressed_file).
@@ -916,7 +917,8 @@ def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
     sec["ch_res"] = np.array(ch_res, np.uint8)
 
     pk = entropy_enc.wavlts2packet(im_nhw, sec["nhw_select1"],
-                                   sec["nhw_select2"])
+                                   sec["nhw_select2"],
+                                   device_pack=device_pack)
     sec["tree1"] = pk.tree1
     sec["tree2"] = pk.tree2
     sec["tree_end"] = pk.tree_end
@@ -942,7 +944,8 @@ def encode(pixels: np.ndarray, quality: int = 20) -> bytes:
     return encode_from_planes(y, u, v, quality, y_original=y_orig)
 
 
-def encode_device(pixels: np.ndarray, quality: int = 20) -> bytes:
+def encode_device(pixels: np.ndarray, quality: int = 20,
+                  device_pack: bool = False) -> bytes:
     """Encode with the transform front end on the device: exact
     colorspace (ops.colorspace_device) and both analysis levels
     (models.device_stages) run on the chip; the raster scans and entropy
@@ -963,7 +966,8 @@ def encode_device(pixels: np.ndarray, quality: int = 20) -> bytes:
             y_original=np.ascontiguousarray(y[0]),
             pre_y=tuple(a[0] for a in pre_y),
             pre_u=tuple(a[0] for a in pre_u),
-            pre_v=tuple(a[0] for a in pre_v))
+            pre_v=tuple(a[0] for a in pre_v),
+            device_pack=device_pack)
 
     y, u, v = ds.colorspace_front_device(rgb, quality)
     y_orig = np.ascontiguousarray(y[0])
@@ -978,7 +982,8 @@ def encode_device(pixels: np.ndarray, quality: int = 20) -> bytes:
         quality, y_original=y_orig,
         pre_y=pre_y,
         pre_u=tuple(a[0] for a in pre_u),
-        pre_v=tuple(a[0] for a in pre_v))
+        pre_v=tuple(a[0] for a in pre_v),
+        device_pack=device_pack)
 
 
 def encode_bmp(bmp_path, nhw_path, quality: int = 20) -> None:

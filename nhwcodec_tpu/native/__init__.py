@@ -15,6 +15,10 @@ _HERE = Path(__file__).resolve().parent
 _CDEF = """
 void nhw_histogram(const uint8_t *s, long p1, long p2,
                    int64_t *rle_buf, int64_t *rle_128);
+long nhw_tokenize(const uint8_t *s, long p1, long p2, int select,
+                  uint8_t *sel1_bits, long *n_sel1,
+                  uint8_t *sel2_bits, long *n_sel2,
+                  int32_t *tokens, long tokens_cap);
 long nhw_emit(const uint8_t *s, long p1, long p2, int select, int zone,
               const int32_t *sym_pos, const int32_t *run_pos,
               const uint32_t *codes, const int32_t *lens,

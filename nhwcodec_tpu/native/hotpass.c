@@ -107,6 +107,61 @@ long nhw_emit(const uint8_t *s, long p1, long p2, int select, int zone,
     return a;
 }
 
+/* The same symbol walk as nhw_emit, but emitting codebook-position
+ * tokens instead of packed bits: the packing itself then runs as a
+ * parallel prefix program on device (ops/entropy_device.py).  Select
+ * side-bits are collected identically. */
+long nhw_tokenize(const uint8_t *s, long p1, long p2, int select,
+                  uint8_t *sel1_bits, long *n_sel1,
+                  uint8_t *sel2_bits, long *n_sel2,
+                  int32_t *tokens, long tokens_cap)
+{
+    long i = p1, n = 0;
+    int e = 1, tag = 0;
+    long c1 = *n_sel1, c2 = *n_sel2;
+
+    while (i < p2 - 1) {
+        int pixel = s[i];
+        if (pixel == 153) { sel1_bits[c1++] = 0; i++; continue; }
+        if (pixel == 155) { sel1_bits[c1++] = 1; i++; continue; }
+        if (pixel == 157) { sel2_bits[c2++] = 0; i++; continue; }
+        if (pixel == 159) { sel2_bits[c2++] = 1; i++; continue; }
+
+        int pos;
+        if (pixel != 128 && pixel > 120 && pixel < 136) {
+            pos = -(pixel + 1);   /* marker: resolve via sym_pos on host */
+            if (pixel > 131) i += 4;
+        } else {
+            if (pixel == 128) {
+                int overflow = 0;
+                while (i < p2 - 1 && s[i + 1] == 128) {
+                    e += 1;
+                    if (e > 255) { e = 254; i -= 1; overflow = 1; break; }
+                    i += 1;
+                }
+                if (!overflow && e > 1 && e < select) {
+                    i -= e - 1; tag = e; e = 1;
+                }
+            }
+            pos = (e == 1) ? -(pixel + 1) : (65536 + e);
+        }
+
+        for (;;) {
+            if (n >= tokens_cap) return -1;
+            tokens[n++] = pos;
+            e = 1;
+            if (tag > 0) {
+                tag -= 1;
+                if (tag > 0) { i += 1; pos = -(128 + 1); continue; }
+            }
+            break;
+        }
+        i += 1;
+    }
+    *n_sel1 = c1; *n_sel2 = c2;
+    return n;
+}
+
 /* ------------------------------------------------------------------ */
 /* offsetY (ops/quantize.py: the four passes)                          */
 

@@ -59,20 +59,46 @@ def pack_bits_device(codes: jnp.ndarray, lens: jnp.ndarray,
 pack_bits_device_jit = jax.jit(pack_bits_device, static_argnames=("n_words",))
 
 
-def tokens_to_words(positions: np.ndarray, zone_mask: np.ndarray,
-                    n_words: int) -> np.ndarray:
-    """Codebook-position tokens -> packed u32 words on device.
+@jax.jit
+def _tokens_to_codes_zone(pos):
+    """Zone-coded stream (encoder/compress_pixel.c:329-341): positions
+    110..173 take the 15-bit zone escape, >=174 shift down 64."""
+    zone_tok = (pos >= 110) & (pos < 174)
+    plain = jnp.where(zone_tok, 0, jnp.where(pos >= 174, pos - 64, pos))
+    codes = jnp.where(zone_tok,
+                      (1 << 6) | jnp.maximum(pos - 110, 0),
+                      jnp.asarray(T.HUFFMAN_CODES, jnp.uint32)[plain])
+    lens = jnp.where(zone_tok, 15,
+                     jnp.asarray(T.HUFFMAN_LENS, jnp.int32)[plain])
+    return codes.astype(jnp.uint32), lens
 
-    positions: (S,) int32 codebook indices (post run segmentation);
-    zone_mask: (S,) bool — True where the 15-bit zone escape applies
-    (decoder/compress_pixel.c:141-187's inverse).  The per-token
+
+@jax.jit
+def _tokens_to_codes_plain(pos):
+    codes = jnp.asarray(T.HUFFMAN_CODES, jnp.uint32)[pos]
+    lens = jnp.asarray(T.HUFFMAN_LENS, jnp.int32)[pos]
+    return codes, lens
+
+
+def tokens_to_words(positions: np.ndarray, zone_on: bool,
+                    n_words: int, valid: np.ndarray | None = None
+                    ) -> tuple[np.ndarray, int]:
+    """Codebook-position tokens -> (packed u32 words, total bit count)
+    on device.
+
+    positions: (S,) int32 codebook indices (post run segmentation,
+    the host nhw_tokenize walk); zone_on: whether this stream part uses
+    the 15-bit zone escape for positions 110..173
+    (decoder/compress_pixel.c:141-187's inverse); valid: optional (S,)
+    bool mask (padding tokens emit zero bits).  The per-token
     code/length lookup and the packing are one device program.
     """
     pos = jnp.asarray(positions, jnp.int32)
-    zone = jnp.asarray(zone_mask, jnp.bool_)
-    plain = jnp.where(zone, 0, jnp.where(pos >= 174, pos - 64, pos))
-    codes = jnp.where(zone,
-                      (1 << 6) | jnp.maximum(pos - 110, 0),
-                      jnp.asarray(T.HUFFMAN_CODES, jnp.uint32)[plain])
-    lens = jnp.where(zone, 15, jnp.asarray(T.HUFFMAN_LENS, jnp.int32)[plain])
-    return np.asarray(pack_bits_device_jit(codes, lens, n_words))
+    if zone_on:
+        codes, lens = _tokens_to_codes_zone(pos)
+    else:
+        codes, lens = _tokens_to_codes_plain(pos)
+    if valid is not None:
+        lens = jnp.where(jnp.asarray(valid, jnp.bool_), lens, 0)
+    nbits = int(jnp.sum(lens))
+    return np.asarray(pack_bits_device_jit(codes, lens, n_words)), nbits

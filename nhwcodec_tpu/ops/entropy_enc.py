@@ -206,13 +206,19 @@ class _BitPacker:
         self.pack = pack
 
 
-def wavlts2packet(im_nhw: np.ndarray, nhw_select1: int, nhw_select2: int
-                  ) -> PacketResult:
-    """Both Huffman passes over the full 6*IM_SIZE code stream."""
+def wavlts2packet(im_nhw: np.ndarray, nhw_select1: int, nhw_select2: int,
+                  device_pack: bool = False) -> PacketResult:
+    """Both Huffman passes over the full 6*IM_SIZE code stream.
+
+    ``device_pack``: route the bit packing through the device prefix-sum
+    packer (ops.entropy_device) — the host walks the run/select token
+    automaton (nhw_tokenize), the chip packs the codes.  Byte-identical
+    to the host packer (tests/test_entropy_device.py)."""
     from nhwcodec_tpu import native
 
     if native.available():
-        return _wavlts2packet_native(im_nhw, native)
+        return _wavlts2packet_native(im_nhw, native,
+                                     device_pack=device_pack)
     res = PacketResult()
     s = im_nhw.tolist()  # plain ints: the scan loops dominate otherwise
     packer = _BitPacker()
@@ -332,7 +338,8 @@ def wavlts2packet(im_nhw: np.ndarray, nhw_select1: int, nhw_select2: int
     return res
 
 
-def _wavlts2packet_native(im_nhw: np.ndarray, native) -> PacketResult:
+def _wavlts2packet_native(im_nhw: np.ndarray, native,
+                          device_pack: bool = False) -> PacketResult:
     """Native-scan variant: histogram + emit run in C, codebook build and
     serialization stay in Python (identical results to the list path)."""
     lib = native._load()
@@ -392,21 +399,55 @@ def _wavlts2packet_native(im_nhw: np.ndarray, native) -> PacketResult:
         codes[:290] = T.HUFFMAN_CODES
         lens[:290] = T.HUFFMAN_LENS
 
-        a = lib.nhw_emit(sp, p1, p2, select, zone,
-                         ffi.cast("int32_t *", sym_pos.ctypes.data),
-                         ffi.cast("int32_t *", run_pos.ctypes.data),
-                         ffi.cast("uint32_t *", codes.ctypes.data),
-                         ffi.cast("int32_t *", lens.ctypes.data),
-                         wp, words.size, a, pack,
-                         ffi.cast("uint8_t *", sel1.ctypes.data), n_sel1,
-                         ffi.cast("uint8_t *", sel2.ctypes.data), n_sel2,
-                         pack_out)
-        if a < 0:
-            # mirrors the reference's overload guard
-            # (encoder/compress_pixel.c:234,270-271) but fails cleanly
-            # instead of corrupting the heap
-            raise OverflowError("packed stream exceeds word buffer")
-        pack = pack_out[0]
+        if device_pack:
+            tokens = np.empty(6 * SZ + 64, np.int32)
+            n_tok = lib.nhw_tokenize(
+                sp, p1, p2, select,
+                ffi.cast("uint8_t *", sel1.ctypes.data), n_sel1,
+                ffi.cast("uint8_t *", sel2.ctypes.data), n_sel2,
+                ffi.cast("int32_t *", tokens.ctypes.data), tokens.size)
+            if n_tok < 0:
+                raise OverflowError("token stream exceeds buffer")
+            t = tokens[:n_tok]
+            pos = np.empty(n_tok, np.int32)
+            mneg = t < 0
+            pos[mneg] = sym_pos[-t[mneg] - 1]
+            pos[~mneg] = run_pos[t[~mneg] - 65536]
+            if n_tok:
+                from nhwcodec_tpu.ops import entropy_device
+
+                # pad the token count to a bucket so the device packer
+                # compiles once per bucket, not once per image
+                cap = 1 << max(10, (n_tok - 1).bit_length())
+                pos_p = np.zeros(cap, np.int32)
+                pos_p[:n_tok] = pos
+                lens_mask = np.zeros(cap, bool)
+                lens_mask[:n_tok] = True
+                part_words, nbits = entropy_device.tokens_to_words(
+                    pos_p, bool(zone), words.size, valid=lens_mask)
+                nw = max(1, (int(nbits) + 31) >> 5)
+                if a + nw > words.size:
+                    raise OverflowError("packed stream exceeds word buffer")
+                words[a: a + nw] = part_words[:nw]
+            else:
+                nw = 1
+            a += nw - 1
+        else:
+            a = lib.nhw_emit(sp, p1, p2, select, zone,
+                             ffi.cast("int32_t *", sym_pos.ctypes.data),
+                             ffi.cast("int32_t *", run_pos.ctypes.data),
+                             ffi.cast("uint32_t *", codes.ctypes.data),
+                             ffi.cast("int32_t *", lens.ctypes.data),
+                             wp, words.size, a, pack,
+                             ffi.cast("uint8_t *", sel1.ctypes.data), n_sel1,
+                             ffi.cast("uint8_t *", sel2.ctypes.data), n_sel2,
+                             pack_out)
+            if a < 0:
+                # mirrors the reference's overload guard
+                # (encoder/compress_pixel.c:234,270-271) but fails cleanly
+                # instead of corrupting the heap
+                raise OverflowError("packed stream exceeds word buffer")
+            pack = pack_out[0]
 
         if part == 0:
             res.size_data1 = a + 1
