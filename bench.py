@@ -25,6 +25,18 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache: the decode-automaton scan compiles
+    in minutes on the first run and milliseconds afterwards."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+
 def _t_min(fn, x, reps=4):
     np.asarray(fn(x))  # compile + warm
     ts = []
@@ -127,6 +139,27 @@ def _device_numbers(b: int = 64) -> dict:
 
     it = _per_iter(_chain(pack_scalar), toks, 2, 26)
     out["device_pack_mtok_s"] = ntok / it / 1e6
+
+    # device Huffman decode (peek-LUT + pointer-doubling + vmapped
+    # automaton), ms/image on a 32-stream batch of real q20 streams
+    from nhwcodec_tpu.models import encoder as enc_mod
+    from nhwcodec_tpu.ops import entropy_decode_device as edd
+    from nhwcodec_tpu.utils import container, fixtures
+
+    sa = container.parse_nhw(enc_mod.encode(fixtures.texture_noise(), 20))
+    sb = container.parse_nhw(enc_mod.encode(fixtures.gradient_circles(),
+                                            20))
+    base = [sa] * 16 + [sb] * 16
+    # distinct batch orderings per call: the tunnel dedups
+    # identical-input launches
+    batches = [base[i:] + base[:i] for i in range(5)]
+    edd.decode_y_device_batch(batches[4])  # compile + warm
+    ts = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        edd.decode_y_device_batch(batches[i])
+        ts.append(time.perf_counter() - t0)
+    out["device_entropy_y_ms_img"] = min(ts) / 32 * 1000
     return {k: round(v, 1) for k, v in out.items()}
 
 
@@ -189,6 +222,7 @@ def _host_numbers() -> dict:
 
 
 def main() -> None:
+    _enable_compile_cache()
     # host numbers first: the device chain-bench leaves the tunnel's
     # compile/relay processes competing for the same 4 cores
     host = _host_numbers()

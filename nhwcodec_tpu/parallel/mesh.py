@@ -58,3 +58,80 @@ def decode_batch_step(mesh: Mesh, y, u, v, axis: str = "data"):
         out_shardings=out_sh,
     )
     return f(y, u, v)
+
+
+def sharded_megapixels(mesh: Mesh, y, axis: str = "data"):
+    """Mesh-global megapixel count of a batch-sharded (B, H, W) plane:
+    each device contributes its local shard count and a ``psum`` over
+    the ``data`` axis (an ICI collective on real hardware) gives every
+    device the aggregate."""
+    from jax.experimental.shard_map import shard_map
+
+    f = jax.jit(shard_map(
+        lambda x: jax.lax.psum(
+            jnp.float32(x.shape[0] * x.shape[1] * x.shape[2]) / 1e6,
+            axis),
+        mesh=mesh, in_specs=P(axis), out_specs=P()))
+    return float(f(y))
+
+
+def encode_batch_sharded(mesh: Mesh, images: np.ndarray, quality: int = 20,
+                         axis: str = "data"):
+    """Full byte-exact batch encode with the device front end sharded
+    over the mesh (the BASELINE "1k images, DP over images, ordered
+    bitstream gather" configuration).
+
+    The RGB batch is placed batch-sharded; the exact colorspace and both
+    analysis levels run as one sharded XLA program per launch (GSPMD
+    partitions the batch axis; per-image compute has no cross-shard
+    edges, so no resharding collectives are inserted — the only mesh
+    communication is the psum metric and the output gather).  The host
+    raster scans + entropy + container then produce each image's
+    bitstream from the device outputs, byte-identical to ``encode``
+    (tests/test_parallel.py).
+
+    Returns (streams in submission order, aggregate megapixels from the
+    on-mesh psum).
+    """
+    from nhwcodec_tpu import tables as T
+    from nhwcodec_tpu.models import device_stages as ds
+    from nhwcodec_tpu.models.encoder import encode_from_planes
+    from nhwcodec_tpu.ops import prefilter
+
+    b = len(images)
+    sh = NamedSharding(mesh, P(axis))
+    rgb = jax.device_put(np.ascontiguousarray(images), sh)
+
+    if quality > T.HIGH1:
+        (y, u, v), pre_y, pre_u, pre_v = ds.encode_front_device(
+            rgb, quality)
+        y1s = [np.ascontiguousarray(y[i]) for i in range(b)]
+        origs = y1s
+    else:
+        yd, ud, vd = ds.colorspace_front_device(rgb, quality)
+        origs = [np.ascontiguousarray(yd[i]) for i in range(b)]
+        if quality < T.HIGH2:
+            y1s = [prefilter.pre_process_y(o, quality) for o in origs]
+        else:
+            y1s = origs
+        y1_sh = jax.device_put(np.stack(y1s), sh)
+        u_sh = jax.device_put(np.ascontiguousarray(ud), sh)
+        v_sh = jax.device_put(np.ascontiguousarray(vd), sh)
+        pre_y, pre_u, pre_v = ds.analysis_front_device(
+            y1_sh, u_sh, v_sh, quality)
+        u, v = ud, vd
+
+    mp = sharded_megapixels(mesh, jax.device_put(np.stack(y1s), sh), axis)
+
+    snap_on = quality > T.HIGH1
+    streams = []
+    for k in range(b):
+        py = (pre_y[0][k], pre_y[1][k], pre_y[2][k],
+              pre_y[3][k] if snap_on else None)
+        streams.append(encode_from_planes(
+            y1s[k], np.ascontiguousarray(u[k]),
+            np.ascontiguousarray(v[k]), quality,
+            y_original=origs[k], pre_y=py,
+            pre_u=tuple(a[k] for a in pre_u),
+            pre_v=tuple(a[k] for a in pre_v)))
+    return streams, mp

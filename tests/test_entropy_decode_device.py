@@ -1,0 +1,92 @@
+"""Device Huffman decode (ops/entropy_decode_device) vs the host path.
+
+Runs in a subprocess on the virtual-CPU JAX backend (conftest pattern:
+the axon TPU plugin must be scrubbed from the environment).
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+_LUT_CODE = """
+import numpy as np
+from nhwcodec_tpu import tables as T
+from nhwcodec_tpu.ops import entropy
+from nhwcodec_tpu.ops.entropy_decode_device import _peek_lut, PEEK
+
+rng = np.random.default_rng(0)
+
+# every table code (and every zone escape), followed by random bits,
+# must resolve to the same (symbol, length) as the host automaton
+for zone_on in (False, True):
+    lut = _peek_lut(zone_on)
+    cases = [(int(T.HUFFMAN_CODES[j]), int(T.HUFFMAN_LENS[j])) for j in
+             range(290)]
+    if zone_on:
+        cases += [((1 << 6) | k, 15) for k in range(64)]
+    for c, ln in cases:
+        tail = rng.integers(0, 2, 40)
+        bits = [(c >> (ln - 1 - i)) & 1 for i in range(ln)] + tail.tolist()
+        sym, pos = entropy._next_symbol(bits, 0, zone_on)
+        peek = 0
+        for k in range(PEEK):
+            peek = (peek << 1) | bits[k]
+        entry = int(lut[peek])
+        assert entry & 0x3FF == sym, (zone_on, c, ln, sym, entry & 0x3FF)
+        assert entry >> 10 == pos, (zone_on, c, ln, pos, entry >> 10)
+print("OK")
+"""
+
+_STREAM_CODE = """
+import numpy as np
+from nhwcodec_tpu.models import encoder
+from nhwcodec_tpu.utils import container, fixtures
+from nhwcodec_tpu.ops import entropy, entropy_decode_device as edd
+
+rng = np.random.default_rng(7)
+imgs = {'grad': fixtures.gradient_circles(),
+        'rand': rng.integers(0, 256, (512, 512, 3), dtype=np.uint8)}
+for name, img in imgs.items():
+    for q in (20, 8, 23):
+        s = container.parse_nhw(encoder.encode(img, q))
+        want_y = entropy.decode_y(s.packet1, s.tree1, s.select_word1,
+                                  s.select_word2, s.res_high)
+        got_y = edd.decode_y_device(s.packet1, s.tree1, s.select_word1,
+                                    s.select_word2, s.res_high)
+        np.testing.assert_array_equal(got_y, want_y, err_msg=f'{name} q{q} Y')
+        want_uv = entropy.decode_uv(s.packet2, s.tree2, s.tree_end)
+        got_uv = edd.decode_uv_device(s.packet2, s.tree2, s.tree_end)
+        np.testing.assert_array_equal(got_uv, want_uv,
+                                      err_msg=f'{name} q{q} UV')
+
+# batched (vmapped) Y automaton: mixed-content batch, one quality
+streams = [container.parse_nhw(encoder.encode(img, 20))
+           for img in imgs.values()]
+outs = edd.decode_y_device_batch(streams)
+for s, got in zip(streams, outs):
+    want = entropy.decode_y(s.packet1, s.tree1, s.select_word1,
+                            s.select_word2, s.res_high)
+    np.testing.assert_array_equal(got, want)
+print("OK")
+"""
+
+
+def _run(code: str) -> None:
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                         capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr
+    assert "OK" in out.stdout
+
+
+def test_peek_lut_matches_host_automaton():
+    _run(_LUT_CODE)
+
+
+def test_device_decode_bit_exact_on_real_streams():
+    _run(_STREAM_CODE)
