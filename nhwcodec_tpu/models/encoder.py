@@ -849,6 +849,10 @@ def _pair_promotion(pf: np.ndarray, q: int) -> None:
                     pf[a] = -9
 
 
+_V_OFF_OVERRIDE: int | None = None  # diagnostics: res256 slack reseat
+_U_OFF_OVERRIDE: int | None = None
+
+
 def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
                        u8v: np.ndarray, quality: int,
                        y_original: np.ndarray | None = None,
@@ -873,18 +877,24 @@ def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
     # offset 32768 (U, and V at q<=LOW5), or the Y LL2 snapshot value
     # highres_tmp[8192] when the q>LOW5 highres path ran in between
     uf = np.ascontiguousarray(u8u, np.uint8).reshape(-1)
-    oob_u = int(np.uint16(int(uf[32768])
-                          | (int(uf[32769]) << 8)).view(np.int16))
+    u_off = 32768 if _U_OFF_OVERRIDE is None else _U_OFF_OVERRIDE
+    oob_u = int(np.uint16(int(uf[u_off])
+                          | (int(uf[u_off + 1]) << 8)).view(np.int16))
     sec.pop("_highres_tmp", None)
-    # malloc traces of the reference (plain binary, zero-filled heap)
-    # show V's res256 chunk slack aliases the freed downsampled-U byte
-    # plane at byte offset 32768.  Known limitation: content-sized
-    # stream allocations can reseat the chunk (by one 4KB slot at
-    # q=LOW1, or onto other remnants at q>=HIGH1); the value only
-    # matters when the compare ladder's final LL1 position sits exactly
-    # on the +-3 rule boundary (<0.5% of fuzzed images, a few stream
-    # bytes when hit).
-    v_off = 32768
+    # malloc traces of the reference (plain binary, zero-filled heap,
+    # layout-preserving logging preload — VALIDATION.md "allocator
+    # placement: traced root cause"): V's res256 chunk slack aliases
+    # the freed downsampled-U byte plane at byte offset 32768 — unless
+    # a single 4096-byte allocation just before it splits the freed
+    # U-plane slot instead of landing on coalesced stream-buffer
+    # remnants, which shifts the chunk one malloc slot and moves the
+    # slack to U-plane offset 36864.  Which way glibc goes depends on
+    # tcache/coalescing over the content-sized stream buffers freed
+    # earlier; the dominant placement (32768) is used here and the
+    # residual class (6 of 3213 fuzzed combos; the four v_off-sensitive
+    # ones all close under the alternate placement) is pinned by
+    # tests/test_alloc_slack.py.
+    v_off = 32768 if _V_OFF_OVERRIDE is None else _V_OFF_OVERRIDE
 
     def _u8_pairs(off, k=4):
         return np.array(
@@ -892,7 +902,7 @@ def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
                        | (int(uf[off + 2 * i + 1]) << 8)).view(np.int16)
              for i in range(k)], np.int16)
 
-    tail_u = _u8_pairs(32768)
+    tail_u = _u8_pairs(u_off)
     tail_v = _u8_pairs(v_off)
     oob_v = int(tail_v[0])
 
