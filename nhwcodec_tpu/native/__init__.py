@@ -19,6 +19,11 @@ long nhw_tokenize(const uint8_t *s, long p1, long p2, int select,
                   uint8_t *sel1_bits, long *n_sel1,
                   uint8_t *sel2_bits, long *n_sel2,
                   int32_t *tokens, long tokens_cap);
+void nhw_analysis_stage(int16_t *jpeg, int16_t *process, long W,
+                        long norder, int last_stage, int wvlts_order,
+                        int want_snap, int16_t *snap_out);
+void nhw_synthesis_stage(int16_t *jpeg, int16_t *process, long W,
+                         long norder, int last_stage, int wvlts_order);
 long nhw_emit(const uint8_t *s, long p1, long p2, int select, int zone,
               const int32_t *sym_pos, const int32_t *run_pos,
               const uint32_t *codes, const int32_t *lens,

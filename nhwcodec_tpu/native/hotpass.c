@@ -3506,11 +3506,15 @@ static uint8_t u8_clip_c(long v)
 void nhw_downsample_yuv420(const uint8_t *rgb, int mode, float yq, int qtz,
                            int16_t *y, uint8_t *u_out, uint8_t *v_out)
 {
+    /* Per-mode loops written as branchless elementwise code over a
+     * row-sized scratch so the compiler vectorizes the float math
+     * (4-wide double on AVX2); per-element operation order is
+     * unchanged, so results stay bit-identical to the scalar form. */
     static uint8_t uplane[512 * 512], vplane[512 * 512];
-    long i;
-    for (i = 0; i < 512L * 512; i++) {
-        int ri = rgb[3 * i], gi = rgb[3 * i + 1], bi = rgb[3 * i + 2];
-        if (mode == 3) {
+    long i, r0;
+    if (mode == 3) {
+        for (i = 0; i < 512L * 512; i++) {
+            int ri = rgb[3 * i], gi = rgb[3 * i + 1], bi = rgb[3 * i + 2];
             long yv = (((66L * ri + 129L * gi + 25L * bi) * qtz + 4194304)
                        >> 23) + 16;
             long uv = (((-38L * ri - 74L * gi + 112L * bi) * qtz + 4194304)
@@ -3520,30 +3524,37 @@ void nhw_downsample_yuv420(const uint8_t *rgb, int mode, float yq, int qtz,
             y[i] = (int16_t)yv;
             uplane[i] = u8_clip_c(uv);
             vplane[i] = u8_clip_c(vv);
-        } else {
-            double r = ri, g = gi, b = bi;
-            double ysum = 0.299 * r + 0.587 * g + 0.114 * b;
-            double cb = -0.1687 * r - 0.3313 * g + 0.5 * b;
-            double cr = 0.5 * r - 0.4187 * g - 0.0813 * b;
-            long uv, vv;
-            if (mode == 0) y[i] = (int16_t)(long)(ysum + 0.5);
-            else if (mode == 1)
-                y[i] = (int16_t)(long)(ysum * (double)yq + 0.5);
-            else {
-                y[i] = (int16_t)(long)(ysum * 0.94 + 0.5);
-                cb = cb * 0.94;
-                cr = cr * 0.94;
+        }
+    } else {
+        double rr[512], gg[512], bb[512];
+        double yv[512], cb[512], cr[512];
+        double ymul = mode == 1 ? (double)yq : (mode == 2 ? 0.94 : 1.0);
+        for (r0 = 0; r0 < 512L * 512; r0 += 512) {
+            const uint8_t *px = rgb + 3 * r0;
+            for (i = 0; i < 512; i++) {
+                rr[i] = (double)px[3 * i];
+                gg[i] = (double)px[3 * i + 1];
+                bb[i] = (double)px[3 * i + 2];
             }
-            /* the reference's color_balance is a float: the double sum
-             * rounds to float32, then the +-half add runs in float32
-             * (encoder/colorspace.c:60,75-81) */
-            {
-                float cbf = (float)cb, crf = (float)cr;
-                uv = (long)(cbf >= 0 ? cbf + 128.5f : cbf + 128.4f);
-                vv = (long)(crf >= 0 ? crf + 128.5f : crf + 128.4f);
+            for (i = 0; i < 512; i++) {
+                double ysum = 0.299 * rr[i] + 0.587 * gg[i]
+                              + 0.114 * bb[i];
+                cb[i] = -0.1687 * rr[i] - 0.3313 * gg[i] + 0.5 * bb[i];
+                cr[i] = 0.5 * rr[i] - 0.4187 * gg[i] - 0.0813 * bb[i];
+                yv[i] = mode == 0 ? ysum + 0.5 : ysum * ymul + 0.5;
+                if (mode == 2) { cb[i] *= 0.94; cr[i] *= 0.94; }
             }
-            uplane[i] = u8_clip_c(uv);
-            vplane[i] = u8_clip_c(vv);
+            for (i = 0; i < 512; i++) {
+                /* the reference's color_balance is a float: the double
+                 * sum rounds to float32, then the +-half add runs in
+                 * float32 (encoder/colorspace.c:60,75-81) */
+                float cbf = (float)cb[i], crf = (float)cr[i];
+                long uv = (long)(cbf >= 0 ? cbf + 128.5f : cbf + 128.4f);
+                long vv = (long)(crf >= 0 ? crf + 128.5f : crf + 128.4f);
+                y[r0 + i] = (int16_t)(long)yv[i];
+                uplane[r0 + i] = u8_clip_c(uv);
+                vplane[r0 + i] = u8_clip_c(vv);
+            }
         }
     }
     chroma_downsample(uplane, u_out);
@@ -3624,64 +3635,90 @@ static int round_pos(int r, int add, int shift)
 void nhw_down_iv(const int16_t *X, long rows, long n,
                  int16_t *low, int16_t *high)
 {
+    /* edge cases peeled; the middle loops are pure stencils the
+     * compiler vectorizes (identical per-element integer math) */
     long r, k, M = n >> 1;
     for (r = 0; r < rows; r++) {
         const int16_t *x = X + r * n;
         int16_t *lo = low + r * M, *hi = high + r * M;
-        for (k = 0; k < M; k++) {
-            lo[k] = (int16_t)low_raw(x, n, k);
-            if (k < M - 1)
-                hi[k] = (int16_t)(2 * x[2 * k + 1]
-                                  - (x[2 * k] + x[2 * k + 2]));
-            else hi[k] = (int16_t)((x[n - 1] - x[n - 2]) << 1);
-        }
+        lo[0] = (int16_t)(6 * x[0] + 4 * x[1] - 2 * x[2]);
+        for (k = 1; k < M - 1; k++)
+            lo[k] = (int16_t)(6 * x[2 * k]
+                              + 2 * (x[2 * k - 1] + x[2 * k + 1])
+                              - (x[2 * k - 2] + x[2 * k + 2]));
+        lo[M - 1] = (int16_t)(6 * x[n - 2] + 2 * (x[n - 3] + x[n - 1])
+                              - (x[n - 4] + x[n - 2]));
+        for (k = 0; k < M - 1; k++)
+            hi[k] = (int16_t)(2 * x[2 * k + 1]
+                              - (x[2 * k] + x[2 * k + 2]));
+        hi[M - 1] = (int16_t)((x[n - 1] - x[n - 2]) << 1);
     }
 }
 
 void nhw_down_53(const int16_t *X, long rows, long n,
                  int16_t *low, int16_t *high)
 {
+    /* the prev_odd "carry" is just the previous a[] entry's low bit,
+     * so the highpass splits into two vectorizable passes over a[] */
     long r, k, M = n >> 1;
+    int a[256];
     for (r = 0; r < rows; r++) {
         const int16_t *x = X + r * n;
         int16_t *lo = low + r * M, *hi = high + r * M;
-        int prev_odd = 0;
-        for (k = 0; k < M; k++) {
-            lo[k] = (int16_t)round_pos(low_raw(x, n, k), 8, 4);
-            if (k < M - 1) {
-                int a = x[2 * k] + x[2 * k + 2];
-                int adj = a + ((a & 1) & prev_odd & (int)(k & 1));
-                int rh = x[2 * k + 1] - (adj >> 1);
-                prev_odd = a & 1;
-                hi[k] = (int16_t)(rh > 0 ? (rh + 1) >> 1 : rh >> 1);
-            } else hi[k] = (int16_t)((x[n - 1] - x[n - 2] + 1) >> 1);
+        lo[0] = (int16_t)round_pos(6 * x[0] + 4 * x[1] - 2 * x[2], 8, 4);
+        for (k = 1; k < M - 1; k++)
+            lo[k] = (int16_t)round_pos(
+                6 * x[2 * k] + 2 * (x[2 * k - 1] + x[2 * k + 1])
+                - (x[2 * k - 2] + x[2 * k + 2]), 8, 4);
+        lo[M - 1] = (int16_t)round_pos(
+            6 * x[n - 2] + 2 * (x[n - 3] + x[n - 1])
+            - (x[n - 4] + x[n - 2]), 8, 4);
+        for (k = 0; k < M - 1; k++)
+            a[k] = x[2 * k] + x[2 * k + 2];
+        for (k = 0; k < M - 1; k++) {
+            int prev = k ? (a[k - 1] & 1) : 0;
+            int adj = a[k] + ((a[k] & 1) & prev & (int)(k & 1));
+            int rh = x[2 * k + 1] - (adj >> 1);
+            hi[k] = (int16_t)(rh > 0 ? (rh + 1) >> 1 : rh >> 1);
         }
+        hi[M - 1] = (int16_t)((x[n - 1] - x[n - 2] + 1) >> 1);
     }
 }
 
 void nhw_down_vi(const int16_t *X, long rows, long n,
                  int16_t *low, int16_t *high)
 {
+    /* the dither "carry" d_prev depends only on the raw moment at the
+     * previous slot, so the pass splits into vectorizable stages:
+     * raw moments rr[], per-slot dither d[], then lo from rr[k]+d[k-1] */
     long r, k, M = n >> 1;
+    int rr[256], d[256], a[256];
     for (r = 0; r < rows; r++) {
         const int16_t *x = X + r * n;
         int16_t *lo = low + r * M, *hi = high + r * M;
-        int prev_odd = 0, d_prev = 0;
+        rr[0] = 6 * x[0] + 4 * x[1] - 2 * x[2];
+        for (k = 1; k < M - 1; k++)
+            rr[k] = 6 * x[2 * k] + 2 * (x[2 * k - 1] + x[2 * k + 1])
+                    - (x[2 * k - 2] + x[2 * k + 2]);
+        rr[M - 1] = 6 * x[n - 2] + 2 * (x[n - 3] + x[n - 1])
+                    - (x[n - 4] + x[n - 2]);
         for (k = 0; k < M; k++) {
-            int rr = low_raw(x, n, k);
-            int rm = (rr < 0 ? -rr : rr) & 63;
+            int rm = (rr[k] < 0 ? -rr[k] : rr[k]) & 63;
             int mag = rm < 32 ? rm >> 2 : -((64 - rm) >> 2);
-            int d = rr >= 0 ? mag : -mag;
-            lo[k] = (int16_t)round_pos(w16(rr + d_prev), 32, 6);
-            d_prev = d;
-            if (k < M - 1) {
-                int a = x[2 * k] + x[2 * k + 2];
-                int adj = a + ((a & 1) & prev_odd & (int)(k & 1));
-                int rh = x[2 * k + 1] - (adj >> 1);
-                prev_odd = a & 1;
-                hi[k] = (int16_t)round_pos(rh, 4, 3);
-            } else hi[k] = (int16_t)(w16(x[n - 1] - x[n - 2]) >> 3);
+            d[k] = rr[k] >= 0 ? mag : -mag;
         }
+        lo[0] = (int16_t)round_pos(w16(rr[0]), 32, 6);
+        for (k = 1; k < M; k++)
+            lo[k] = (int16_t)round_pos(w16(rr[k] + d[k - 1]), 32, 6);
+        for (k = 0; k < M - 1; k++)
+            a[k] = x[2 * k] + x[2 * k + 2];
+        for (k = 0; k < M - 1; k++) {
+            int prev = k ? (a[k - 1] & 1) : 0;
+            int adj = a[k] + ((a[k] & 1) & prev & (int)(k & 1));
+            int rh = x[2 * k + 1] - (adj >> 1);
+            hi[k] = (int16_t)round_pos(rh, 4, 3);
+        }
+        hi[M - 1] = (int16_t)(w16(x[n - 1] - x[n - 2]) >> 3);
     }
 }
 
@@ -4238,4 +4275,81 @@ void nhw_stream_positions(const uint8_t *res_in, long n, int64_t *pos,
                 pos[stage++] = (c << 1) + (count << pack_shift);
         }
     }
+}
+
+/* ------------------------------------------------------------------ */
+/* Fused 2-D analysis stage (encoder/wavelet_filterbank.c:52-302):
+ * the whole per-stage dance — zero-clear, RAW row pass, transpose,
+ * optional snapshot, per-half column passes, LL transpose-back — in
+ * one call, eliminating the per-substep interpreter round trips and
+ * the numpy transpose copies.  Filter bodies are the exported
+ * nhw_down_* routines called row-wise with in-row low/high splits. */
+
+static void t16_block(const int16_t *src, long sw, int16_t *dst, long dw,
+                      long n)
+{
+    /* dst[j][i] = src[i][j] for an n x n square, 32x32 blocked */
+    long bi, bj, i, j;
+    for (bi = 0; bi < n; bi += 32)
+        for (bj = 0; bj < n; bj += 32) {
+            long ei = bi + 32 < n ? bi + 32 : n;
+            long ej = bj + 32 < n ? bj + 32 : n;
+            for (i = bi; i < ei; i++)
+                for (j = bj; j < ej; j++)
+                    dst[j * dw + i] = src[i * sw + j];
+        }
+}
+
+void nhw_analysis_stage(int16_t *jpeg, int16_t *process, long W,
+                        long norder, int last_stage, int wvlts_order,
+                        int want_snap, int16_t *snap_out)
+{
+    long r, k, h = norder >> 1;
+
+    /* _zero_clear: flat[k*512 : k*512+h) = 0 for k < h, in the full
+     * process plane's flat indexing */
+    for (k = 0; k < h; k++)
+        memset(process + k * 512, 0, (size_t)h * sizeof(int16_t));
+
+    for (r = 0; r < norder; r++)
+        nhw_down_iv(jpeg + r * W, 1, norder,
+                    process + r * W, process + r * W + h);
+
+    t16_block(process, W, jpeg, W, norder);
+
+    if (want_snap && !last_stage && snap_out)
+        memcpy(snap_out, jpeg, (size_t)(2 * 65536) * sizeof(int16_t));
+
+    for (r = 0; r < h; r++)
+        nhw_down_vi(jpeg + r * W, 1, norder,
+                    process + r * W, process + r * W + h);
+    for (r = h; r < norder; r++)
+        nhw_down_53(jpeg + r * W, 1, norder,
+                    process + r * W, process + r * W + h);
+
+    if (last_stage != wvlts_order - 1)
+        t16_block(process, W, jpeg, W, h);
+}
+
+/* Fused encoder-internal synthesis stage
+ * (encoder/wavelet_filterbank.c:305-496): un-normalized row pass,
+ * transpose, normalized row pass, optional transpose-back. */
+void nhw_synthesis_stage(int16_t *jpeg, int16_t *process, long W,
+                         long norder, int last_stage, int wvlts_order)
+{
+    long r, i, h = norder >> 1;
+    int32_t tmp[512];
+    for (r = 0; r < norder; r++) {
+        nhw_synth_unnorm(jpeg + r * W, jpeg + r * W + h, 1, h, tmp);
+        for (i = 0; i < norder; i++)
+            process[r * W + i] = (int16_t)tmp[i];
+    }
+    t16_block(process, W, jpeg, W, norder);
+    for (r = 0; r < norder; r++) {
+        nhw_synth_norm(jpeg + r * W, jpeg + r * W + h, 1, h, tmp);
+        for (i = 0; i < norder; i++)
+            process[r * W + i] = (int16_t)tmp[i];
+    }
+    if (last_stage != wvlts_order - 1)
+        t16_block(process, W, jpeg, W, norder);
 }

@@ -174,6 +174,24 @@ def wavelet_analysis(jpeg: np.ndarray, process: np.ndarray, norder: int,
     (encoder/wavelet_filterbank.c:52-302).  Returns the q>HIGH1 snapshot
     (first 2*IM_SIZE elements of the transposed raw plane) when requested.
     """
+    from nhwcodec_tpu import native
+
+    if (native.available() and jpeg.dtype == np.int16
+            and jpeg.flags.c_contiguous and process.flags.c_contiguous
+            and jpeg.shape == process.shape):
+        lib = native._load()
+        ffi = native.ffi()
+        w = jpeg.shape[-1]
+        want = bool(snapshot and not last_stage)
+        snap = np.empty(2 * 65536, np.int16) if want else None
+        lib.nhw_analysis_stage(
+            ffi.cast("int16_t *", jpeg.ctypes.data),
+            ffi.cast("int16_t *", process.ctypes.data),
+            w, norder, last_stage, wvlts_order,
+            1 if want else 0,
+            ffi.cast("int16_t *", snap.ctypes.data) if want else ffi.NULL)
+        return snap
+
     _zero_clear(process, norder)
     h = norder // 2
 
@@ -206,6 +224,19 @@ def wavelet_synthesis(jpeg: np.ndarray, process: np.ndarray, norder: int,
     """Encoder-internal synthesis stage, mutating jpeg/process in place
     (encoder/wavelet_filterbank.c:305-496): un-normalized row pass,
     transpose, normalized row pass, optional transpose-back."""
+    from nhwcodec_tpu import native
+
+    if (native.available() and jpeg.dtype == np.int16
+            and jpeg.flags.c_contiguous and process.flags.c_contiguous
+            and jpeg.shape == process.shape):
+        lib = native._load()
+        ffi = native.ffi()
+        lib.nhw_synthesis_stage(
+            ffi.cast("int16_t *", jpeg.ctypes.data),
+            ffi.cast("int16_t *", process.ctypes.data),
+            jpeg.shape[-1], norder, last_stage, wvlts_order)
+        return
+
     h = norder // 2
     t = synth_unnorm(jpeg[:norder, :h], jpeg[:norder, h:norder])
     process[:norder, :norder] = t.astype(np.int16)
