@@ -24,6 +24,8 @@ void nhw_analysis_stage(int16_t *jpeg, int16_t *process, long W,
                         int want_snap, int16_t *snap_out);
 void nhw_synthesis_stage(int16_t *jpeg, int16_t *process, long W,
                          long norder, int last_stage, int wvlts_order);
+void nhw_scatter_u8(const int16_t *src, const int64_t *perm, long n,
+                    uint8_t *dst, long stride, long off);
 long nhw_emit(const uint8_t *s, long p1, long p2, int select, int zone,
               const int32_t *sym_pos, const int32_t *run_pos,
               const uint32_t *codes, const int32_t *lens,

@@ -173,8 +173,16 @@ static const int EXW2[19] = {60,62,66,68,70,74,76,78,82,84,86,90,92,94,98,
 void nhw_offset_y(int16_t *pf, int quality, int m1, int low4)
 {
     long i;
-    /* pass 1: even-pair decrements in the bands */
+    /* pass 1: even-pair decrements in the bands.  Candidates need
+     * BOTH pair members > 7; the pass only ever decrements, so a
+     * vectorizable pre-screen on the original values is a safe
+     * superset and skips the (typically sparse) quiet majority. */
+    static uint8_t gt[4 * SZ + 1];
+    for (i = 0; i < 4 * SZ; i++)
+        gt[i] = pf[i] > 7;
+    gt[4 * SZ] = 0;
     for (i = 0; i < 4 * SZ; i++) {
+        if (!(gt[i] & gt[i + 1])) continue;
         if (!(i >= 2 * SZ || (i & 511) >= D)) continue;
         if ((i & 511) >= 2 * D - 1) continue;
         int a = pf[i];
@@ -1102,8 +1110,12 @@ void nhw_gradient_sums(const int16_t *p, int32_t *res, int32_t *cnt)
    the same raster order the sums are produced in). */
 void nhw_kernel_simple_fused(const int16_t *p, int32_t *out)
 {
+    /* stencil split from the res4 feedback chain: the per-pixel
+     * gradient sums vectorize, the chain runs branchless (the original
+     * content-dependent branches mispredict on texture) */
     int r, j;
     int res4 = 0;
+    int32_t v[512], a[512];
     for (r = 1; r < N - 1; r++) {
         const int16_t *row = p + (long)r * N;
         int32_t *os = out + (long)r * N;
@@ -1113,23 +1125,19 @@ void nhw_kernel_simple_fused(const int16_t *p, int32_t *out)
             int d2 = c - row[j - N],     d3 = c - row[j + N];
             int d4 = c - row[j - N + 1], d5 = c - row[j - N - 1];
             int d6 = c - row[j + N - 1], d7 = c - row[j + N + 1];
-            int v = d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7;
-            int a = (d0 < 0 ? -d0 : d0) + (d1 < 0 ? -d1 : d1)
-                  + (d2 < 0 ? -d2 : d2) + (d3 < 0 ? -d3 : d3)
-                  + (d4 < 0 ? -d4 : d4) + (d5 < 0 ? -d5 : d5)
-                  + (d6 < 0 ? -d6 : d6) + (d7 < 0 ? -d7 : d7);
-            if (v < 0) {
-                res4 = 15 * (-v) + a + ((res4 + 2) >> 2);
-                os[j] = -(res4 >> 4);
-                res4 &= 15;
-            } else if (v > 0) {
-                res4 = 15 * v + a + ((res4 + 2) >> 2);
-                os[j] = res4 >> 4;
-                res4 &= 15;
-            } else {
-                os[j] = 0;
-                res4 = 0;
-            }
+            v[j] = d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7;
+            a[j] = (d0 < 0 ? -d0 : d0) + (d1 < 0 ? -d1 : d1)
+                 + (d2 < 0 ? -d2 : d2) + (d3 < 0 ? -d3 : d3)
+                 + (d4 < 0 ? -d4 : d4) + (d5 < 0 ? -d5 : d5)
+                 + (d6 < 0 ? -d6 : d6) + (d7 < 0 ? -d7 : d7);
+        }
+        for (j = 1; j < N - 1; j++) {
+            int vv = v[j];
+            int av = vv < 0 ? -vv : vv;
+            int nr = 15 * av + a[j] + ((res4 + 2) >> 2);
+            int o = nr >> 4;
+            os[j] = vv == 0 ? 0 : (vv < 0 ? -o : o);
+            res4 = vv == 0 ? 0 : (nr & 15);
         }
     }
 }
@@ -4352,4 +4360,15 @@ void nhw_synthesis_stage(int16_t *jpeg, int16_t *process, long W,
     }
     if (last_stage != wvlts_order - 1)
         t16_block(process, W, jpeg, W, norder);
+}
+
+/* Serpentine scatter (encoder/nhw_encoder.c:2111-2132, 2542-2570):
+ * dst[off + stride*perm[i]] = src[i] & 255 for the shared Y/UV
+ * de-serpentine permutations. */
+void nhw_scatter_u8(const int16_t *src, const int64_t *perm, long n,
+                    uint8_t *dst, long stride, long off)
+{
+    long i;
+    for (i = 0; i < n; i++)
+        dst[off + stride * perm[i]] = (uint8_t)(src[i] & 255);
 }

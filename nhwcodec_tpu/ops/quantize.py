@@ -336,12 +336,20 @@ def offset_uv(process: np.ndarray, m2: int) -> None:
 def serpentine_y(process: np.ndarray) -> np.ndarray:
     """4-px vertical boustrophedon Y interleave
     (encoder/nhw_encoder.c:2111-2132) via the shared permutation."""
+    from nhwcodec_tpu import native
+
     perm = geometry.y_deserpentine_map()
-    out = np.empty(6 * SZ, np.uint8)
-    out[:] = 0
-    stream = np.empty(4 * SZ, np.uint8)
-    stream[perm] = (process.reshape(-1) & 255).astype(np.uint8)
-    out[: 4 * SZ] = stream
+    out = np.zeros(6 * SZ, np.uint8)
+    pf = np.ascontiguousarray(process.reshape(-1), np.int16)
+    if native.available() and perm.dtype == np.int64:
+        lib = native._load()
+        ffi = native.ffi()
+        lib.nhw_scatter_u8(
+            ffi.cast("const int16_t *", pf.ctypes.data),
+            ffi.cast("const int64_t *", perm.ctypes.data), 4 * SZ,
+            ffi.cast("uint8_t *", out.ctypes.data), 1, 0)
+        return out
+    out[: 4 * SZ][perm] = (pf & 255).astype(np.uint8)
     return out
 
 
@@ -349,9 +357,22 @@ def serpentine_uv(im_nhw: np.ndarray, process: np.ndarray,
                   component: int) -> None:
     """8-px serpentine UV interleave, U even / V odd offsets
     (encoder/nhw_encoder.c:2542-2570, 2840-2868)."""
+    from nhwcodec_tpu import native
+
     perm = geometry.uv_deserpentine_map()
+    pf = np.ascontiguousarray(process.reshape(-1), np.int16)
+    if (native.available() and perm.dtype == np.int64
+            and im_nhw.flags.c_contiguous):
+        lib = native._load()
+        ffi = native.ffi()
+        lib.nhw_scatter_u8(
+            ffi.cast("const int16_t *", pf.ctypes.data),
+            ffi.cast("const int64_t *", perm.ctypes.data), SZ,
+            ffi.cast("uint8_t *", im_nhw.ctypes.data), 2,
+            4 * SZ + component)
+        return
     stream = np.empty(SZ, np.uint8)
-    stream[perm] = (process.reshape(-1) & 255).astype(np.uint8)
+    stream[perm] = (pf & 255).astype(np.uint8)
     im_nhw[4 * SZ + component: 6 * SZ + component - 1: 2] = stream
 
 
