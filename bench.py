@@ -93,10 +93,11 @@ def _device_numbers(b: int = 64) -> dict:
         _chain(enc_scalar), rgb, 2, 26)
 
     def enc_pallas_scalar(inp):
-        y, u, v = rgb_to_yuv420_device(inp)
-        l1 = pallas_dwt.analysis_level_pallas(y.astype(jnp.int16))
-        l2 = pallas_dwt.analysis_level_pallas(l1[..., :256, :256])
-        return l1.astype(jnp.int32).sum() + l2.astype(jnp.int32).sum()
+        from nhwcodec_tpu.models.transform import encode_transform_pallas
+
+        y, u, v = encode_transform_pallas(inp)
+        return (y.astype(jnp.int32).sum() + u.astype(jnp.int32).sum()
+                + v.astype(jnp.int32).sum())
 
     out["device_transform_pallas_mp_s"] = mp / _per_iter(
         _chain(enc_pallas_scalar), rgb, 2, 26)

@@ -175,18 +175,39 @@ def _analysis_level_kernel(plane_ref, out_ref, *, m):
     lowT, highT = _down_cols_iv(t0, m)
     t = jnp.concatenate([lowT, highT], axis=0).astype(jnp.int16)
     tt = t.T.astype(jnp.int32)               # == concat([low, high], -1)
-    # per-half column passes: VI on the top rows, plain 53 on the bottom
-    topT_l, topT_h = _down_cols_vi(tt[:, :h], m)
-    botT_l, botT_h = _down_cols_53(tt[:, h:], m)
-    outT = jnp.concatenate([
-        jnp.concatenate([topT_l, botT_l], axis=1),
-        jnp.concatenate([topT_h, botT_h], axis=1)], axis=0)
-    out = outT.T
-    # LL-quadrant transpose-back (wavelet_filterbank.c:143-151);
-    # rebuilt by concatenation — .at[].set() lowers to scatter, which
-    # Mosaic does not support
-    top = jnp.concatenate([out[:h, :h].T, out[:h, h:]], axis=1)
-    out = jnp.concatenate([top, out[h:, :]], axis=0)
+    if m >= 128:
+        # per-half column passes: VI on the top rows, plain 53 on the
+        # bottom; the lane splits are 128-tile-aligned so Mosaic keeps
+        # clean layouts
+        topT_l, topT_h = _down_cols_vi(tt[:, :h], m)
+        botT_l, botT_h = _down_cols_53(tt[:, h:], m)
+        outT = jnp.concatenate([
+            jnp.concatenate([topT_l, botT_l], axis=1),
+            jnp.concatenate([topT_h, botT_h], axis=1)], axis=0)
+        out = outT.T
+        # LL-quadrant transpose-back (wavelet_filterbank.c:143-151);
+        # rebuilt by concatenation — .at[].set() lowers to scatter,
+        # which Mosaic does not support
+        top = jnp.concatenate([out[:h, :h].T, out[:h, h:]], axis=1)
+        out = jnp.concatenate([top, out[h:, :]], axis=0)
+    else:
+        # m == 64 (the 128-wide UV second level): 64-lane slices carry
+        # tile offsets Mosaic cannot concatenate, so run BOTH column
+        # filters over the full lane width and select per lane — the
+        # lanes are half-idle at 64 wide, so the duplicated filter is
+        # free in wall time and every intermediate stays offset-0
+        vi_l, vi_h = _down_cols_vi(tt, m)
+        p_l, p_h = _down_cols_53(tt, m)
+        lane = jax.lax.broadcasted_iota(jnp.int32, vi_l.shape, 1)
+        outT = jnp.concatenate([
+            jnp.where(lane < h, vi_l, p_l),
+            jnp.where(lane < h, vi_h, p_h)], axis=0)
+        out = outT.T
+        ll = out[:h, :h].T
+        ll_wide = jnp.concatenate([ll, ll], axis=1)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (h, 2 * h), 1)
+        top = jnp.where(lane2 < h, ll_wide, out[:h, :])
+        out = jnp.concatenate([top, out[h:, :]], axis=0)
     out_ref[0] = out.astype(jnp.int16)
 
 
