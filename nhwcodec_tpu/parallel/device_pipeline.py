@@ -73,15 +73,23 @@ def _encode_chunk_device(images: np.ndarray, quality: int,
 
 def encode_batch_device(images: np.ndarray, quality: int = 20,
                         workers: int | None = None,
-                        chunk: int | None = None
+                        chunk: int | None = None,
+                        trace_dir: str | None = None
                         ) -> tuple[list[bytes | None], BatchMetrics]:
     """Encode a (B, 512, 512, 3) uint8 batch with device transforms.
 
     Returns (bitstreams in submission order — None for failures — and
     metrics).  ``workers``: host thread count (default: cpu count);
-    ``chunk``: images per device launch (default: B/workers capped 16).
+    ``chunk``: images per device launch (default: B/workers capped 16);
+    ``trace_dir``: capture a ``jax.profiler`` trace of the whole batch
+    into this directory (view with TensorBoard/Perfetto — the device
+    stages appear under their ``nhw.*`` named scopes).
     """
     import jax
+
+    if trace_dir is not None:
+        with jax.profiler.trace(trace_dir):
+            return encode_batch_device(images, quality, workers, chunk)
 
     jax.devices()  # initialize the backend on the main thread: plugin
     # discovery (the axon tunnel) is not thread-safe on first touch
