@@ -120,7 +120,11 @@ def _pack_select_bits(bits: list[int]) -> tuple[np.ndarray, int]:
     return packed, b
 
 
-def _serialize_tree1(entries: list[int]) -> np.ndarray:
+def _serialize_tree1(entries: list[int]) -> tuple[np.ndarray, list[int]]:
+    """Returns (serialized tree1, the interleaved codebook content) —
+    the reference leaves that content in its shared stack buffer
+    (encoder/compress_pixel.c:58 ``codebook[580]``), where the tree2
+    pass's trailing-run overread later consumes it."""
     raw: list[int] = []
     for t in entries:
         if (t >> 8) == 1:
@@ -147,10 +151,19 @@ def _serialize_tree1(entries: list[int]) -> np.ndarray:
     if c > 0:  # trailing marker run is flushed against the stack slack
         out.append(3)
         out.append(c)
-    return np.array(out, np.uint8)
+    return np.array(out, np.uint8), cb
 
 
-def _serialize_tree2(entries: list[int]) -> tuple[np.ndarray, int]:
+def _serialize_tree2(entries: list[int], prev_cb: list[int] | None = None
+                     ) -> tuple[np.ndarray, int]:
+    """``prev_cb``: the Y pass's interleaved codebook content.  The
+    reference's RLE loop (encoder/compress_pixel.c:446-456) chases a
+    trailing 128-run past ``tree_end`` with an unbounded ``goto``, so
+    when the UV codebook ends in a run the count absorbs whatever
+    consecutive 128s the Y pass left in the shared ``codebook[580]``
+    stack buffer beyond the UV length — emulated here (the decoder
+    never expands entries past tree_end, so the inflation is
+    value-dead; proven by reference-decode equality)."""
     raw: list[int] = []
     for t in entries:
         if (t >> 8) == 1:
@@ -176,6 +189,11 @@ def _serialize_tree2(entries: list[int]) -> tuple[np.ndarray, int]:
         out.append(cb[i])
         i += 1
     if c > 0:
+        if prev_cb is not None:
+            j = len(cb)
+            while j < len(prev_cb) and prev_cb[j] == 128:
+                c += 1
+                j += 1
         out.append(128)
         out.append(c)
     return np.array(out, np.uint8), tree_end
@@ -329,10 +347,10 @@ def wavlts2packet(im_nhw: np.ndarray, nhw_select1: int, nhw_select2: int,
             res.nhw_select1 = len(res.select_word1)
             res.select_word2, _ = _pack_select_bits(sel2_bits)
             res.nhw_select2 = len(res.select_word2)
-            res.tree1 = _serialize_tree1(entries)
+            res.tree1, y_cb = _serialize_tree1(entries)
         else:
             res.size_data2 = packer.a + 1
-            res.tree2, res.tree_end = _serialize_tree2(entries)
+            res.tree2, res.tree_end = _serialize_tree2(entries, y_cb)
 
     res.encode_words = np.array(packer.words[: res.size_data2], np.uint32)
     return res
@@ -458,10 +476,10 @@ def _wavlts2packet_native(im_nhw: np.ndarray, native,
             res.select_word2, _ = _pack_select_bits(
                 sel2[: n_sel2[0]].tolist())
             res.nhw_select2 = len(res.select_word2)
-            res.tree1 = _serialize_tree1(entries)
+            res.tree1, y_cb = _serialize_tree1(entries)
         else:
             res.size_data2 = a + 1
-            res.tree2, res.tree_end = _serialize_tree2(entries)
+            res.tree2, res.tree_end = _serialize_tree2(entries, y_cb)
 
     res.encode_words = words[: res.size_data2].copy()
     return res
