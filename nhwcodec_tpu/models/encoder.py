@@ -396,6 +396,16 @@ def _low_q_ll1_cleanup(pf, q, ratio):
     """q<=LOW9 isolated-coefficient zeroing in the lower LL1 half
     (encoder/nhw_encoder.c:285-309)."""
     x1 = 10 if q > T.LOW14 else 11
+
+    from nhwcodec_tpu import native
+
+    if native.available():
+        lib = native._load()
+        ffi = native.ffi()
+        lib.nhw_low_q_ll1_cleanup(
+            ffi.cast("int16_t *", pf.ctypes.data), x1, ratio)
+        return
+
     for r in range(128, 256):
         base = r * N
         for j in range(D):
@@ -1215,21 +1225,13 @@ def encode_uv(plane_u8: np.ndarray, quality: int, component: int,
         res256 = jpeg[:128, :128].copy()
 
         if q <= T.LOW4:
-            pf = process.reshape(-1)
-            for r in range(128):
-                for j in range(128, 256):
-                    v = abs(int(pf[r * D + j]))
-                    if ratio <= v < 24:
-                        pf[r * D + j] = 0
-            for r in range(128, 256):
-                for j in range(128):
-                    v = abs(int(pf[r * D + j]))
-                    if ratio <= v < 32:
-                        pf[r * D + j] = 0
-                for j in range(128, 256):
-                    v = abs(int(pf[r * D + j]))
-                    if ratio <= v < 48:
-                        pf[r * D + j] = 0
+            # per-band |v|-window zeroing; elementwise, so vectorized
+            for rs, cs, hi in ((slice(0, 128), slice(128, 256), 24),
+                               (slice(128, 256), slice(0, 128), 32),
+                               (slice(128, 256), slice(128, 256), 48)):
+                blk = process[rs, cs]
+                v = np.abs(blk.astype(np.int32))
+                blk[(v >= ratio) & (v < hi)] = 0
 
         analysis.wavelet_analysis(jpeg, process, 128, 1, 0)
 

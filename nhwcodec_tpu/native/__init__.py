@@ -128,6 +128,7 @@ void nhw_very_low_q_cleanup(int16_t *pf, int low9,
 void nhw_lowest_q_band_cleanup(int16_t *pf, const int16_t *r3pad,
                                int ratio, int gt_low10,
                                int x1, int x2, int x3, int x4, int x5);
+void nhw_low_q_ll1_cleanup(int16_t *pf, int x1, int ratio);
 void nhw_uv_compare_ladder(int16_t *jf, const int16_t *pf,
                            const int16_t *rf, int strict, int oob0);
 void nhw_uv_ll_smooth(int16_t *pf);

@@ -5,6 +5,7 @@
  * raster-carried scans are irreducibly sequential, so the host runtime
  * runs them natively while the plane transforms stay on the TPU.
  */
+#include <pthread.h>
 #include <stdint.h>
 #include <string.h>
 
@@ -47,6 +48,12 @@ long nhw_emit(const uint8_t *s, long p1, long p2, int select, int zone,
     long i = p1, a = a_in;
     int pack = pack_in, e = 1, tag = 0;
     long c1 = *n_sel1, c2 = *n_sel2;
+    /* 64-bit packing window: the top `pack` bits are the current
+     * word-in-progress (resumed from the caller's partial word); a
+     * word is flushed only when pack exceeds 32, preserving the
+     * original lazy advance (an exactly-full word stays at index a,
+     * which the size_data accounting depends on). */
+    uint64_t acc = ((uint64_t)words[a]) << 32;
 
     while (i < p2 - 1) {
         int pixel = s[i];
@@ -84,15 +91,13 @@ long nhw_emit(const uint8_t *s, long p1, long p2, int select, int zone,
                 code = codes[p]; nb = lens[p];
             }
             pack += nb;
-            if (pack <= 32) {
-                words[a] |= code << (32 - pack);
-            } else {
-                int match = pack - 32;
-                words[a] |= code >> match;
+            acc |= (uint64_t)code << (64 - pack);
+            if (pack > 32) {
+                words[a] = (uint32_t)(acc >> 32);
                 a += 1;
                 if (a >= words_cap) return -1;  /* caller raises */
-                words[a] |= (uint32_t)(code << (32 - match));
-                pack = match;
+                acc <<= 32;
+                pack -= 32;
             }
             e = 1;
             if (tag > 0) {
@@ -103,6 +108,7 @@ long nhw_emit(const uint8_t *s, long p1, long p2, int select, int zone,
         }
         i += 1;
     }
+    words[a] = (uint32_t)(acc >> 32);
     *n_sel1 = c1; *n_sel2 = c2; *pack_out = pack;
     return a;
 }
@@ -169,6 +175,80 @@ static const int EXW1[19] = {10,12,14,18,20,22,26,28,30,34,36,38,42,44,46,
                              50,52,54,58};
 static const int EXW2[19] = {60,62,66,68,70,74,76,78,82,84,86,90,92,94,98,
                              100,102,106,108};
+
+/* Pass-4 fast-path LUT: maps an int16 coefficient straight to its
+ * quantized output when the mapping is provably independent of the
+ * neighbors and the duty-cycle counters; OFFSET_LUT_SLOW marks values
+ * that must run the original scan body.  Trigger classes (see the
+ * scan): a==-7 / a==8 (pair rewrites), a<-12 with (-a)&7>=6 (writes
+ * or reads pf[i+1]), a>12 with a&7>=6 (writes pf[i+1]), and under
+ * low4 every |a|>=14 (quant/quant6/quant4 ladder advance sites). */
+#define OFFSET_LUT_SLOW ((int16_t)-32768)
+static int16_t offset_y_lut[65536];
+static int offset_y_lut_m1 = -1, offset_y_lut_low4 = -1;
+static pthread_mutex_t offset_y_lut_mu = PTHREAD_MUTEX_INITIALIZER;
+
+/* (re)build under a lock: the chunk pipeline calls the scans from
+ * worker threads, and the cache key must change atomically with the
+ * table content. */
+static void nhw_build_offset_y_lut(int m1, int low4)
+{
+    long v;
+    if (offset_y_lut_m1 == m1 && offset_y_lut_low4 == low4) return;
+    pthread_mutex_lock(&offset_y_lut_mu);
+    if (offset_y_lut_m1 == m1 && offset_y_lut_low4 == low4) {
+        pthread_mutex_unlock(&offset_y_lut_mu);
+        return;
+    }
+    offset_y_lut_m1 = -2;
+    for (v = -32768; v <= 32767; v++) {
+        uint16_t idx = (uint16_t)v;
+        int a = (int)v;
+        if (a == -7 || a == 8
+            || (a < -12 && (((-a) & 7) >= 6))
+            || (a > 12 && ((a & 7) >= 6) && a <= 10000)
+            || (low4 && (a >= 14 || a <= -14) && a <= 10000)) {
+            offset_y_lut[idx] = OFFSET_LUT_SLOW;
+            continue;
+        }
+        if (a > 10000) {
+            int r = a;
+            switch (a) {
+            case 10100: r = 128; break;
+            case 12700: r = 127; break;
+            case 12900: r = 129; break;
+            case 10204: r = 125; break;
+            case 10300: r = 126; break;
+            case 12100: r = 121; break;
+            case 12200: r = 122; break;
+            }
+            offset_y_lut[idx] = (int16_t)r;
+            continue;
+        }
+        if (a > 127) {
+            int exw = ((a & 0xfff8) - 128) >> 3;
+            offset_y_lut[idx] = (int16_t)EXW1[exw > 18 ? 18 : exw];
+            continue;
+        }
+        if (a < -127) {
+            int exw = (((-a) & 0xfff8) - 128) >> 3;
+            offset_y_lut[idx] = (int16_t)EXW2[exw > 18 ? 18 : exw];
+            continue;
+        }
+        if (a < 0) {
+            a = -a;
+            if (low4) a &= 504;
+            else if ((a & 7) < 7) a &= 504;
+            a = -a;
+        }
+        if (a < m1 && a > -m1) { offset_y_lut[idx] = 128; continue; }
+        a += 128;
+        offset_y_lut[idx] = (int16_t)(a & 248);
+    }
+    offset_y_lut_m1 = m1;
+    offset_y_lut_low4 = low4;
+    pthread_mutex_unlock(&offset_y_lut_mu);
+}
 
 void nhw_offset_y(int16_t *pf, int quality, int m1, int low4)
 {
@@ -249,11 +329,21 @@ void nhw_offset_y(int16_t *pf, int quality, int m1, int low4)
         }
     }
 
-    /* pass 4: the quantizer */
+    /* pass 4: the quantizer.  The mapping is elementwise except for a
+     * small set of neighbor-coupled trigger values (and, under low4,
+     * the counter ladders, all of whose advance sites require
+     * |a| >= 14) — so a 64K LUT over the int16 input resolves the
+     * common case in one predictable load, with a sentinel routing
+     * the trigger values to the exact original scan body. */
     {
         int quant = 0, quant6 = 0, quant4 = 0;
+        nhw_build_offset_y_lut(m1, low4);
         for (i = 0; i < 4 * SZ; i++) {
             if (!(i & 511)) { quant = 0; quant6 = 0; }
+            {
+                int16_t fv = offset_y_lut[(uint16_t)pf[i]];
+                if (fv != OFFSET_LUT_SLOW) { pf[i] = fv; continue; }
+            }
             int a = pf[i];
             if (a > 10000) {
                 switch (a) {
@@ -2181,6 +2271,30 @@ static void vlq_zero_l2(int16_t *pf, long cnt)
     if (iabs(pf[cnt + 128]) < 11) pf[cnt + 128] = 0;
     if (iabs(pf[cnt + SZ]) < 12) pf[cnt + SZ] = 0;
     if (iabs(pf[cnt + SZ + 128]) < 13) pf[cnt + SZ + 128] = 0;
+}
+
+/* q<=LOW9 isolated-coefficient zeroing in the lower LL1 half
+ * (models/encoder.py _low_q_ll1_cleanup; encoder/nhw_encoder.c:285-309).
+ * Sequential: a zeroed element weakens its right neighbor's check. */
+void nhw_low_q_ll1_cleanup(int16_t *pf, int x1, int ratio)
+{
+    int r, j;
+    for (r = 128; r < 256; r++) {
+        long base = (long)r * N;
+        for (j = 0; j < D; j++) {
+            long scan = base + j;
+            int v = iabs(pf[scan]);
+            if (v >= ratio && v < x1) {
+                if (iabs(pf[scan - 1]) < ratio
+                        && iabs(pf[scan + 1]) < ratio)
+                    pf[scan] = 0;
+                else if (v == ratio
+                         && (iabs(pf[scan - 1]) < ratio
+                             || iabs(pf[scan + 1]) < ratio))
+                    pf[scan] = 0;
+            }
+        }
+    }
 }
 
 void nhw_very_low_q_cleanup(int16_t *pf, int low9,
