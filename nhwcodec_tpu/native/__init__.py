@@ -46,13 +46,13 @@ void nhw_offset_uv(int16_t *pf, int m2);
 void nhw_select_codes(uint8_t *s, long *sel1_out, long *sel2_out);
 void nhw_cap_long_runs(uint8_t *s);
 void nhw_merge_crossing(uint8_t *s);
-int nhw_decode_y(const uint8_t *bits, const int32_t *nt1,
+int nhw_decode_y(const uint32_t *words, const int32_t *nt1,
                  const int32_t *nt2, const int32_t *vals,
                  const int32_t *rles, const uint8_t *sel1,
                  const uint8_t *sel2, int zone_on, const int8_t *extra,
                  int16_t *out, long p1, long n_bits, long n_vals,
                  long n_sel1, long n_sel2);
-int nhw_decode_uv(const uint8_t *bits, const int32_t *nt1,
+int nhw_decode_uv(const uint32_t *words, const int32_t *nt1,
                   const int32_t *nt2, const int32_t *vals,
                   const int32_t *rles, const int8_t *extra,
                   int16_t *out, long p1, long n_bits, long n_vals);

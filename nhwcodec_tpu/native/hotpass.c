@@ -941,7 +941,95 @@ void nhw_merge_crossing(uint8_t *s)
 #define UNZONE1 64
 #define WVLT_E 123
 
-static long next_symbol(const uint8_t *bits, long pos, int zone_on,
+/* MSB-first bit i of the packed little-endian u32 code-word stream */
+#define GETBIT(w, p) ((int)(((w)[(p) >> 5] >> (31 - ((p) & 31))) & 1u))
+
+/* 16-bit peek LUT over the *static* NHW Huffman tables: entry =
+ * (bit_length << 10) | symbol, 0 = unresolvable in 16 bits (the rare
+ * 17-20 bit escape ladders, or an invalid prefix) -> bit-serial slow
+ * path.  nt1 covers sizes 2-9, nt2 10-14, the zone escape is 15 bits,
+ * so everything but the long ladders resolves in one table load.  The
+ * tables are fixed by the format (decoder/tables.h:46-189); the build
+ * runs once per process, keyed only on first use. */
+static uint32_t y_peek_lut[2][65536];
+static int y_peek_built = 0;
+static pthread_mutex_t y_peek_mu = PTHREAD_MUTEX_INITIALIZER;
+
+static int peek_probe(uint32_t p, int zone_on, const int32_t *nt1,
+                      const int32_t *nt2, int *sym)
+{
+    int tr, size, dec, fail = 0;
+/* bit k of the 16-bit prefix; reads past it poison the probe */
+#define PBIT(k) ((k) >= 16 ? (fail = 1, 0) : (int)((p >> (15 - (k))) & 1u))
+    if (zone_on) {
+        int v = 0, k;
+        for (k = 0; k < 9; k++) v = (v << 1) | PBIT(k);
+        if (v == 0x1) {
+            v = 0;
+            for (k = 9; k < 15; k++) v = (v << 1) | PBIT(k);
+            if (fail) return -1;
+            *sym = v + ZONE1;
+            return 15;
+        }
+    }
+    tr = 0; size = 0;
+    for (;;) {
+        tr = (tr << 1) | PBIT(size);
+        size += 1;
+        if (fail) return -1;
+        if (tr == 0x1F) {
+            int k;
+            tr = 0;
+            for (k = 0; k < 5; k++) { tr = (tr << 1) | PBIT(size); size += 1; }
+            if (fail) return -1;
+            dec = nt2[tr << 4];
+            if (dec != 0 && size == (dec >> 9)) break;
+            for (;;) {
+                tr = (tr << 1) | PBIT(size); size += 1;
+                if (fail) return -1;
+                if (size == 0xB) {
+                    dec = nt2[tr << 3];
+                    if (dec != 0 && size == (dec >> 9)) break;
+                    if (tr == 0x3 || tr == 0x23) return -1; /* 17-20 bits */
+                    continue;
+                }
+                if (size > 14) return -1;
+                dec = nt2[tr << (14 - size)];
+                if (dec != 0 && size == (dec >> 9)) break;
+            }
+            break;
+        }
+        if (size > 9 || tr > MSW) return -1;
+        dec = nt1[tr];
+        if (dec != 0 && size == (dec >> 9)) break;
+    }
+#undef PBIT
+    {
+        int s2 = dec & MSW;
+        if (zone_on && s2 >= ZONE1) s2 += UNZONE1;
+        *sym = s2;
+    }
+    return size;
+}
+
+static void nhw_build_y_peek(const int32_t *nt1, const int32_t *nt2)
+{
+    long p;
+    int z;
+    if (y_peek_built) return;
+    pthread_mutex_lock(&y_peek_mu);
+    if (y_peek_built) { pthread_mutex_unlock(&y_peek_mu); return; }
+    for (z = 0; z < 2; z++)
+        for (p = 0; p < 65536; p++) {
+            int sym, len = peek_probe((uint32_t)p, z, nt1, nt2, &sym);
+            y_peek_lut[z][p] =
+                len > 0 ? (((uint32_t)len << 10) | (uint32_t)sym) : 0;
+        }
+    y_peek_built = 1;
+    pthread_mutex_unlock(&y_peek_mu);
+}
+
+static long next_symbol(const uint32_t *words, long pos, int zone_on,
                         const int32_t *nt1, const int32_t *nt2, int *sym,
                         long n_bits)
 {
@@ -949,37 +1037,48 @@ static long next_symbol(const uint8_t *bits, long pos, int zone_on,
     /* max symbol footprint is well under 64 bits; a truncated or corrupt
      * stream fails cleanly instead of reading past the buffer */
     if (pos + 64 > n_bits) return -1;
+    {
+        long wi = pos >> 5;
+        uint64_t win = ((uint64_t)words[wi] << 32) | words[wi + 1];
+        uint32_t ent =
+            y_peek_lut[zone_on][(win >> (48 - (pos & 31))) & 0xFFFF];
+        if (ent) {
+            *sym = (int)(ent & 1023);
+            return pos + (long)(ent >> 10);
+        }
+    }
     if (zone_on) {
         int v = 0, k;
-        for (k = 0; k < 9; k++) v = (v << 1) | bits[pos + k];
+        for (k = 0; k < 9; k++) v = (v << 1) | GETBIT(words, pos + k);
         if (v == 0x1) {
             v = 0;
-            for (k = 9; k < 15; k++) v = (v << 1) | bits[pos + k];
+            for (k = 9; k < 15; k++) v = (v << 1) | GETBIT(words, pos + k);
             *sym = v + ZONE1;
             return pos + 15;
         }
     }
     tr = 0; size = 0;
     for (;;) {
-        tr = (tr << 1) | bits[pos + size];
+        tr = (tr << 1) | GETBIT(words, pos + size);
         size += 1;
         if (tr == 0x1F) {
             int k;
             tr = 0;
             for (k = 0; k < 5; k++) {
-                tr = (tr << 1) | bits[pos + size]; size += 1;
+                tr = (tr << 1) | GETBIT(words, pos + size); size += 1;
             }
             dec = nt2[tr << 4];
             if (dec != 0 && size == (dec >> 9)) break;
             for (;;) {
-                tr = (tr << 1) | bits[pos + size]; size += 1;
+                tr = (tr << 1) | GETBIT(words, pos + size); size += 1;
                 if (size == 0xB) {
                     dec = nt2[tr << 3];
                     if (dec != 0 && size == (dec >> 9)) break;
                     if (tr == 0x3) {
                         int v = 0;
                         for (k = 0; k < 6; k++) {
-                            v = (v << 1) | bits[pos + size]; size += 1;
+                            v = (v << 1) | GETBIT(words, pos + size);
+                            size += 1;
                         }
                         dec = v + 110;
                         break;
@@ -987,31 +1086,34 @@ static long next_symbol(const uint8_t *bits, long pos, int zone_on,
                     if (tr == 0x23) {
                         int v = 0;
                         for (k = 0; k < 6; k++) {
-                            v = (v << 1) | bits[pos + size]; size += 1;
+                            v = (v << 1) | GETBIT(words, pos + size);
+                            size += 1;
                         }
                         if (v < 46) { dec = v + 174; break; }
-                        v = (v << 1) | bits[pos + size]; size += 1;
+                        v = (v << 1) | GETBIT(words, pos + size); size += 1;
                         if (v < 104) {
                             dec = (v >> 1) + ((v >> 1) - 46) + (v & 1) + 174;
                             break;
                         }
-                        v = (v << 1) | bits[pos + size]; size += 1;
+                        v = (v << 1) | GETBIT(words, pos + size); size += 1;
                         if (v < 246) {
                             dec = 6 + (((v >> 2) - 52) * 3)
                                   + (v >> 2) + (v & 3) + 174;
                             break;
                         }
-                        v = (v << 1) | bits[pos + size]; size += 1;
+                        v = (v << 1) | GETBIT(words, pos + size); size += 1;
                         dec = v - 492 + 270;
                         break;
                     }
                     continue;
                 }
+                if (size > 14) return -1; /* corrupt: no 14-bit match */
                 dec = nt2[tr << (14 - size)];
                 if (dec != 0 && size == (dec >> 9)) break;
             }
             break;
         }
+        if (size > 9 || tr > MSW) return -1; /* corrupt prefix */
         dec = nt1[tr];
         if (dec != 0 && size == (dec >> 9)) break;
     }
@@ -1023,7 +1125,7 @@ static long next_symbol(const uint8_t *bits, long pos, int zone_on,
     return pos + size;
 }
 
-int nhw_decode_y(const uint8_t *bits, const int32_t *nt1,
+int nhw_decode_y(const uint32_t *words, const int32_t *nt1,
                  const int32_t *nt2, const int32_t *vals,
                  const int32_t *rles, const uint8_t *sel1,
                  const uint8_t *sel2, int zone_on, const int8_t *extra,
@@ -1035,11 +1137,12 @@ int nhw_decode_y(const uint8_t *bits, const int32_t *nt1,
     long run_over = -257;
     long t = 0, t2 = 0;
 
+    nhw_build_y_peek(nt1, nt2);
     for (;;) {
         int dec, word, rle;
         if (e < 0 || e > p1 + 200 || t >= n_sel1 || t2 >= n_sel2)
             return -1;
-        pos = next_symbol(bits, pos, zone_on, nt1, nt2, &dec, n_bits);
+        pos = next_symbol(words, pos, zone_on, nt1, nt2, &dec, n_bits);
         if (pos < 0 || dec < 0 || dec >= n_vals) return -1;
         word = vals[dec];
         rle = rles[dec];
@@ -1104,16 +1207,17 @@ int nhw_decode_y(const uint8_t *bits, const int32_t *nt1,
     return 0;
 }
 
-int nhw_decode_uv(const uint8_t *bits, const int32_t *nt1,
+int nhw_decode_uv(const uint32_t *words, const int32_t *nt1,
                   const int32_t *nt2, const int32_t *vals,
                   const int32_t *rles, const int8_t *extra,
                   int16_t *out, long p1, long n_bits, long n_vals)
 {
     long pos = 0, e = 0;
+    nhw_build_y_peek(nt1, nt2);
     for (;;) {
         int dec, word;
         if (e < 0 || e > p1 + 200) return -1;
-        pos = next_symbol(bits, pos, 0, nt1, nt2, &dec, n_bits);
+        pos = next_symbol(words, pos, 0, nt1, nt2, &dec, n_bits);
         if (pos < 0 || dec < 0 || dec >= n_vals) return -1;
         word = vals[dec];
         if (word == 0x80) {

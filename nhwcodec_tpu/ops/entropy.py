@@ -34,6 +34,13 @@ def bits_of_words(words: np.ndarray, pad_words: int = 4) -> np.ndarray:
     return np.unpackbits(w.byteswap().view(np.uint8))
 
 
+def padded_words(words: np.ndarray, pad_words: int = 8) -> np.ndarray:
+    """Native-endian u32 code words + zero tail for the C bit window."""
+    return np.ascontiguousarray(
+        np.concatenate([words.astype(np.uint32, copy=False),
+                        np.zeros(pad_words, np.uint32)]))
+
+
 def expand_bits(b: np.ndarray) -> np.ndarray:
     """u8 bytes -> per-bit 0/1 array, MSB first (select/bit planes)."""
     return np.unpackbits(np.ascontiguousarray(b, dtype=np.uint8))
@@ -222,7 +229,7 @@ def decode_y(
     if native.available():
         lib = native._load()
         ffi = native.ffi()
-        bits = bits_of_words(packet1, pad_words=8)
+        words = padded_words(packet1)
         nt1 = np.array(_NT1, np.int32)
         nt2 = np.array(_NT2, np.int32)
         va = np.array(vals, np.int32)
@@ -232,7 +239,7 @@ def decode_y(
         ex = np.array(_EXTRA, np.int8)
         out = np.zeros(p1 + 512, np.int16)
         rc = lib.nhw_decode_y(
-            ffi.cast("uint8_t *", bits.ctypes.data),
+            ffi.cast("uint32_t *", words.ctypes.data),
             ffi.cast("int32_t *", nt1.ctypes.data),
             ffi.cast("int32_t *", nt2.ctypes.data),
             ffi.cast("int32_t *", va.ctypes.data),
@@ -242,7 +249,7 @@ def decode_y(
             1 if zone_on else 0,
             ffi.cast("int8_t *", ex.ctypes.data),
             ffi.cast("int16_t *", out.ctypes.data), p1,
-            bits.size, va.size, s1.size, s2.size)
+            32 * words.size, va.size, s1.size, s2.size)
         if rc != 0:
             raise ValueError("corrupt or truncated Y symbol stream")
         return out[:p1].copy()
@@ -384,7 +391,7 @@ def decode_uv(
     if native.available():
         lib = native._load()
         ffi = native.ffi()
-        bits = bits_of_words(packet2, pad_words=8)
+        words = padded_words(packet2)
         nt1 = np.array(_NT1, np.int32)
         nt2 = np.array(_NT2, np.int32)
         va = np.array(vals, np.int32)
@@ -392,14 +399,14 @@ def decode_uv(
         ex = np.array(_EXTRA, np.int8)
         out = np.zeros(p1 + 512, np.int16)
         rc = lib.nhw_decode_uv(
-            ffi.cast("uint8_t *", bits.ctypes.data),
+            ffi.cast("uint32_t *", words.ctypes.data),
             ffi.cast("int32_t *", nt1.ctypes.data),
             ffi.cast("int32_t *", nt2.ctypes.data),
             ffi.cast("int32_t *", va.ctypes.data),
             ffi.cast("int32_t *", rl.ctypes.data),
             ffi.cast("int8_t *", ex.ctypes.data),
             ffi.cast("int16_t *", out.ctypes.data), p1,
-            bits.size, va.size)
+            32 * words.size, va.size)
         if rc != 0:
             raise ValueError("corrupt or truncated UV symbol stream")
         return out[:2 * T.IM_SIZE].copy()
