@@ -197,20 +197,22 @@ def _host_numbers() -> dict:
                 best, streams = m, st
         return best, streams
 
-    # warm the persistent spawn pool, then best-of-3
+    # warm the persistent spawn pool, then best-of-N (N sized so that
+    # a transient CPU-steal window — the host shows 10-30% run-to-run
+    # variance — cannot sink the recorded number; each rep is <1 s)
     api.encode_batch(imgs[: 4 * ncore], 20)
-    menc, streams = best_of(lambda: api.encode_batch(imgs, 20))
+    menc, streams = best_of(lambda: api.encode_batch(imgs, 20), n=6)
     out["full_encode_mp_s"] = round(menc.mp_per_s, 3)
 
-    mq9, _ = best_of(lambda: api.encode_batch(imgs[:16], 9))
+    mq9, _ = best_of(lambda: api.encode_batch(imgs[:16], 9), n=4)
     out["full_encode_q9_mp_s"] = round(mq9.mp_per_s, 3)
 
     m1, _ = best_of(lambda: api.encode_batch(imgs[:8], 20, workers=0),
-                    n=2)
+                    n=4)
     out["single_core_encode_mp_s"] = round(m1.mp_per_s, 3)
 
     good = [s for s in streams if s is not None]
-    mdec, _ = best_of(lambda: api.decode_batch(good))
+    mdec, _ = best_of(lambda: api.decode_batch(good), n=5)
     out["full_decode_mp_s"] = round(mdec.mp_per_s, 3)
 
     # device-wired full codec (byte-identical output, transform on chip;
