@@ -99,6 +99,27 @@ def _encode_one(args):
         return idx, None, f"{type(e).__name__}: {e}"
 
 
+def _encode_one_shm(args):
+    """Encode from a SharedMemory slot: the (512,512,3) pixel input comes
+    through shared pages instead of a 786KB pickle per image."""
+    idx, shm_name, quality = args
+    try:
+        from multiprocessing import shared_memory
+
+        import nhwcodec_tpu
+
+        shm = shared_memory.SharedMemory(name=shm_name)
+        try:
+            rgb = np.ndarray(
+                (512, 512, 3), np.uint8,
+                buffer=shm.buf[idx * 786432:(idx + 1) * 786432]).copy()
+        finally:
+            shm.close()
+        return idx, nhwcodec_tpu.encode(rgb, quality), None
+    except Exception as e:  # noqa: BLE001
+        return idx, None, f"{type(e).__name__}: {e}"
+
+
 def _decode_one(args):
     idx, data = args
     try:
@@ -140,16 +161,35 @@ def encode_batch(images: np.ndarray, quality: int = 20,
     out: list[bytes | None] = [None] * len(images)
     m = BatchMetrics(images=len(images),
                      megapixels=len(images) * 512 * 512 / 1e6)
-    jobs = [(i, np.asarray(images[i]), quality) for i in range(len(images))]
     if workers == 0 or len(images) == 1:
-        results = map(_encode_one, jobs)
-    else:
-        results = _pool_map(workers, _encode_one, jobs)
-    for idx, data, err in results:
-        if err is None:
-            out[idx] = data
-        else:
-            m.failures += 1
+        jobs = [(i, np.asarray(images[i]), quality)
+                for i in range(len(images))]
+        for idx, data, err in map(_encode_one, jobs):
+            if err is None:
+                out[idx] = data
+            else:
+                m.failures += 1
+        m.wall_s = time.perf_counter() - t0
+        return out, m
+
+    from multiprocessing import shared_memory
+
+    shm = shared_memory.SharedMemory(create=True,
+                                     size=len(images) * 786432)
+    try:
+        view = np.ndarray((len(images), 512, 512, 3), np.uint8,
+                          buffer=shm.buf)
+        view[:] = images
+        jobs = [(i, shm.name, quality) for i in range(len(images))]
+        for idx, data, err in _pool_map(workers, _encode_one_shm, jobs):
+            if err is None:
+                out[idx] = data
+            else:
+                m.failures += 1
+        del view
+    finally:
+        shm.close()
+        shm.unlink()
     m.wall_s = time.perf_counter() - t0
     return out, m
 
