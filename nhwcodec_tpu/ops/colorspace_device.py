@@ -63,6 +63,87 @@ _GAIN = {
 }
 
 
+# ---------------------------------------------------------------------------
+# exact fixed-point fast path for the no-gain float matrix (q >= NORM)
+#
+# Every double in that chain — the products fl64(c*x) for x in 0..255,
+# their left-to-right partial sums, and the +0.5 add — has exponent
+# >= -4, so each is an exact multiple of 2^-56 and below 2^8: the whole
+# Y chain replays losslessly in uint64 at scale 2^56 with an
+# RNE-to-53-bits step after each operation.  For chroma, collapsing the
+# three binary64 roundings + the float32 narrowing into a single
+# RNE-to-24-bits of the exact scaled sum is proven bit-identical to the
+# softfloat chain exhaustively over all 2^24 RGB triples
+# (tools/colorspace_exhaustive.py, which sweeps this path); the
+# subsequent +128.5f/+128.4f float32 add and (int) trunc are exact
+# scaled-integer steps (one more RNE24 — a true IEEE single rounding,
+# no collapse).
+# This replaces ~25 softfloat add/mul/norm calls per pixel with 5+4+4
+# renormalize steps, all uint64 VPU lanes.
+
+_MI_Y = tuple(int(np.float64(c) * (1 << 56)) for c in (0.299, 0.587, 0.114))
+_MI_U = tuple(int(np.float64(c) * (1 << 56)) for c in (0.1687, 0.3313, 0.5))
+_MI_V = tuple(int(np.float64(c) * (1 << 56)) for c in (0.5, 0.4187, 0.0813))
+_HI_P = int(np.float64(128.5) * (1 << 56))              # exact, < 2^64
+_HI_N = int(np.float64(np.float32(128.4)) * (1 << 56))  # exact (f32 const)
+
+
+def _bitlen_u64(x, xp):
+    """Bit length of a uint64 array (0 -> 0); float32 estimate + two
+    fixups (same scheme as softfloat._bitlen, guarded so the occurring
+    domain's top value 2^64 - k*2^39, k >= 1, never misclassifies)."""
+    f = x.astype(xp.float32)
+    est = xp.frexp(f)[1].astype(xp.int64)
+    est = xp.maximum(est, xp.int64(1))
+    est = xp.where(
+        (x >> xp.minimum(est - 1, 63).astype(xp.uint64)) == 0, est - 1, est)
+    est = xp.where(
+        (est < 64) & ((x >> xp.minimum(est, 63).astype(xp.uint64)) != 0),
+        est + 1, est)
+    return xp.where(x == 0, xp.int64(0), est)
+
+
+def _rne_u64(x, P: int, xp):
+    """Round x (uint64, value x * 2^-56) to a P-bit mantissa with RNE;
+    returns the rounded value at the same 2^-56 scale (exact: every
+    result in the occurring domain has ulp >= 2^-56)."""
+    one = xp.uint64(1)
+    L = _bitlen_u64(x, xp)
+    shift = xp.maximum(L - P, xp.int64(0)).astype(xp.uint64)
+    keep = x >> shift
+    rem = x & ((one << shift) - one)
+    half = xp.where(shift > 0,
+                    one << (xp.maximum(shift, one) - one), xp.uint64(0))
+    up = (rem > half) | ((rem == half) & (shift > 0)
+                        & ((keep & one) == one))
+    return (keep + up.astype(xp.uint64)) << shift
+
+
+def _y_fast(r, g, b, xp):
+    """trunc(fl64 chain + 0.5) for the 0.299/0.587/0.114 row."""
+    p1 = _rne_u64(xp.uint64(_MI_Y[0]) * r.astype(xp.uint64), 53, xp)
+    p2 = _rne_u64(xp.uint64(_MI_Y[1]) * g.astype(xp.uint64), 53, xp)
+    p3 = _rne_u64(xp.uint64(_MI_Y[2]) * b.astype(xp.uint64), 53, xp)
+    s = _rne_u64(_rne_u64(p1 + p2, 53, xp) + p3, 53, xp)
+    w = _rne_u64(s + xp.uint64(1 << 55), 53, xp)
+    return (w >> xp.uint64(56)).astype(xp.int64)
+
+
+def _chroma_fast(r, g, b, M, sgn, xp):
+    """(int)(fl32(fl64 chain) + 128.5f/128.4f) for a chroma row."""
+    t = (xp.int64(sgn[0] * M[0]) * r.astype(xp.int64)
+         + xp.int64(sgn[1] * M[1]) * g.astype(xp.int64)
+         + xp.int64(sgn[2] * M[2]) * b.astype(xp.int64))
+    c32 = _rne_u64(xp.abs(t).astype(xp.uint64), 24, xp)
+    neg = t < 0
+    w = xp.where(neg, xp.uint64(_HI_N) - c32, c32 + xp.uint64(_HI_P))
+    # C32 == +127.5 makes the sum exactly 2^64 (wraps): result is 256,
+    # which the caller's u8 clip turns into 255 as the reference does
+    ovf = (~neg) & (w < c32)
+    out = (_rne_u64(w, 24, xp) >> xp.uint64(56)).astype(xp.int64)
+    return xp.where(ovf, xp.int64(256), out)
+
+
 def _sum3(p1, p2, p3, xp):
     """((p1 + p2) + p3) in binary64, C left-to-right order."""
     return sf.add(sf.add(p1, p2, 53, xp), p3, 53, xp)
@@ -106,6 +187,13 @@ def _yuv_full(rgb, quality: int, xp, qtz=None):
         y = (((66 * r + 129 * g + 25 * b) * qtz + 4194304) >> 23) + 16
         u = (((-38 * r - 74 * g + 112 * b) * qtz + 4194304) >> 23) + 128
         v = (((112 * r - 94 * g - 18 * b) * qtz + 4194304) >> 23) + 128
+        return (y.astype(xp.int16), _clip_u8(u, xp).astype(xp.uint8),
+                _clip_u8(v, xp).astype(xp.uint8))
+
+    if quality >= T.NORM:
+        y = _y_fast(r, g, b, xp)
+        u = _chroma_fast(r, g, b, _MI_U, (-1, -1, 1), xp)
+        v = _chroma_fast(r, g, b, _MI_V, (1, -1, -1), xp)
         return (y.astype(xp.int16), _clip_u8(u, xp).astype(xp.uint8),
                 _clip_u8(v, xp).astype(xp.uint8))
 
