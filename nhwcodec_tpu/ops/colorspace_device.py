@@ -3,18 +3,15 @@
 Replicates encoder/colorspace.c:55-260 (downsample_YUV420) exactly on
 device: the double-precision sums, the float32 chroma intermediate, the
 sign-dependent +128.5f/+128.4f rounding, the LOW1-LOW3 gains and the
-integer Qtz path — using ops.softfloat for the float semantics (pure
-int64 lanes: identical bits on CPU jax, TPU and the numpy host oracle).
-
-Each per-channel coefficient product fl64(c * x), x in 0..255, is an
-exact int64 multiply + RNE renormalize on device (softfloat.mul_small_int
-— no per-pixel gathers, which are the slow path on the TPU VPU); the
-add/mul/convert/trunc sequence then replays the reference's expression
-order exactly.
+integer Qtz path.  The float semantics run as an exact fixed-point
+replay over uint64 lanes (identical bits on CPU jax, TPU and the numpy
+host oracle); ops.softfloat documents and tests the underlying generic
+IEEE emulation the replay was derived from and proven against.
 
 Public entry: ``rgb_to_yuv420_device_exact(rgb, quality)`` — jitted per
 quality, x64-traced.  Verified against the (oracle-dump-verified) host
-path over all 2^24 RGB triples (tests/test_colorspace_device.py).
+path over all 2^24 RGB triples (tools/colorspace_exhaustive.py;
+structured slices in tests/test_colorspace_device.py).
 """
 
 from __future__ import annotations
@@ -29,38 +26,7 @@ except Exception:  # noqa: BLE001 — host-only use
     jax = None
 
 from nhwcodec_tpu import tables as T
-from nhwcodec_tpu.ops import softfloat as sf
 from nhwcodec_tpu.ops.colorspace import QTZ
-
-# the double matrix rows (encoder/colorspace.c:71-81); each product
-# fl64(c * x) is replayed on device as an exact int64 multiply + RNE
-# renormalize (softfloat.mul_small_int) — no per-pixel gathers
-_CO_Y = tuple(sf.pack_const(c) for c in (0.299, 0.587, 0.114))
-_CO_U = tuple(sf.pack_const(c) for c in (-0.1687, -0.3313, 0.5))
-_CO_V = tuple(sf.pack_const(c) for c in (0.5, -0.4187, -0.0813))
-
-_HALF = sf.pack_const(0.5)
-_HALF_P32 = None  # filled below: float32 128.5f / 128.4f
-_HALF_N32 = None
-
-
-def _pack_f32_const(value: float) -> tuple[int, int, int]:
-    s, m, e = sf.pack_f64(np.float64(np.float32(value)))
-    # renormalize 53 -> 24 bit mantissa (exact: value is a float32)
-    m = int(m) >> 29
-    return int(s), m, int(e)
-
-
-_HALF_P32 = _pack_f32_const(128.5)
-_HALF_N32 = _pack_f32_const(128.4)
-
-# the LOW1/LOW2 Y gains are float variables promoted back to double
-# (encoder/colorspace.c:105-108); LOW3 uses the double literal 0.94
-_GAIN = {
-    T.LOW1: sf.pack_const(float(np.float32(0.975))),
-    T.LOW2: sf.pack_const(float(np.float32(0.93))),
-    T.LOW3: sf.pack_const(0.94),
-}
 
 
 # ---------------------------------------------------------------------------
@@ -144,26 +110,92 @@ def _chroma_fast(r, g, b, M, sgn, xp):
     return xp.where(ovf, xp.int64(256), out)
 
 
-def _sum3(p1, p2, p3, xp):
-    """((p1 + p2) + p3) in binary64, C left-to-right order."""
-    return sf.add(sf.add(p1, p2, 53, xp), p3, 53, xp)
+# gain mantissas at scale 2^54 (all exact: the f32 gains promoted to
+# double have 24-bit mantissas; 0.94 is a double literal with ulp 2^-54)
+_MI_GAIN = {
+    T.LOW1: int(np.float64(np.float32(0.975)) * (1 << 54)),
+    T.LOW2: int(np.float64(np.float32(0.93)) * (1 << 54)),
+    T.LOW3: int(np.float64(0.94) * (1 << 54)),
+}
 
 
-def _chroma(v64, xp):
-    """double sum -> float color_balance -> sign-dependent +128.5f/.4f
-    float add -> (int) trunc (encoder/colorspace.c:76-81)."""
-    v32 = sf.narrow_to_f32(v64, xp)
-    pos = sf.is_nonneg(v32, xp)
-    s, m, e = v32
-    hp = tuple(xp.full(s.shape, c, dtype=xp.int64) for c in _HALF_P32)
-    hn = tuple(xp.full(s.shape, c, dtype=xp.int64) for c in _HALF_N32)
-    half = tuple(xp.where(pos, a, b) for a, b in zip(hp, hn))
-    w = sf.add(v32, half, 24, xp)
-    return sf.trunc_to_int(w, 24, xp)
+def _gain_mul_rne53(x, mg: int, xp):
+    """fl64(gain * v) for v = x * 2^-56 (x uint64, a 53-bit-mantissa
+    double in the chain) and gain = mg * 2^-54: exact 118-bit product
+    via 27-bit limbs, RNE to 53 bits, returned at scale 2^-56 (exact:
+    gain in (0.9, 1) keeps every product's exponent >= -4).
+
+    The rounding position is clamped to bit 54 (d >= 0), which is
+    coarser than fl64 only for |v| < 2^-4 — reachable solely through
+    chroma cancellation, where any |c| < 1/16 lands on output 128 after
+    the +128.5f/+128.4f add regardless of these low-order bits (and the
+    exhaustive sweep covers it)."""
+    one = xp.uint64(1)
+    mask27 = xp.uint64((1 << 27) - 1)
+    a0 = x & mask27
+    a1 = (x >> xp.uint64(27)) & mask27
+    a2 = x >> xp.uint64(54)                    # < 2^10
+    c0 = xp.uint64(mg & ((1 << 27) - 1))
+    c1 = xp.uint64(mg >> 27)
+    l0 = a0 * c0
+    l1 = a1 * c0 + a0 * c1
+    l2 = a2 * c0 + a1 * c1
+    l3 = a2 * c1                               # < 2^37
+    lo_raw = l0 + ((l1 & mask27) << xp.uint64(27))
+    hi = l2 + (l1 >> xp.uint64(27)) + (l3 << xp.uint64(27))
+    hi = hi + (lo_raw >> xp.uint64(54))
+    lo = lo_raw & ((one << xp.uint64(54)) - one)
+    # product p = hi*2^54 + lo, value p * 2^-110; round at bit L-53
+    L = _bitlen_u64(hi, xp) + 54               # p's bit length (hi > 0
+    d = xp.maximum(L - 53 - 54, xp.int64(0))   # whenever x > 0)
+    du = d.astype(xp.uint64)
+    keep = hi >> du
+    rem_hi = hi & ((one << du) - one)
+    rhs_hi = xp.where(d >= 1, one << (xp.maximum(du, one) - one),
+                      xp.uint64(0))
+    rhs_lo = xp.where(d >= 1, xp.uint64(0), one << xp.uint64(53))
+    gt = (rem_hi > rhs_hi) | ((rem_hi == rhs_hi) & (lo > rhs_lo))
+    tie = (rem_hi == rhs_hi) & (lo == rhs_lo)
+    up = gt | (tie & ((keep & one) == one))
+    keep = keep + up.astype(xp.uint64)
+    return xp.where(x == 0, xp.uint64(0), keep << du)
 
 
-def _const_bcast(c, like, xp):
-    return tuple(xp.full(like.shape, v, dtype=xp.int64) for v in c)
+def _y_chain_u64(r, g, b, xp):
+    """The rounded double sum S of the Y row, exact at scale 2^-56."""
+    p1 = _rne_u64(xp.uint64(_MI_Y[0]) * r.astype(xp.uint64), 53, xp)
+    p2 = _rne_u64(xp.uint64(_MI_Y[1]) * g.astype(xp.uint64), 53, xp)
+    p3 = _rne_u64(xp.uint64(_MI_Y[2]) * b.astype(xp.uint64), 53, xp)
+    return _rne_u64(_rne_u64(p1 + p2, 53, xp) + p3, 53, xp)
+
+
+def _rne_i64(t, P: int, xp):
+    """Sign-symmetric RNE (IEEE round-to-nearest is magnitude-only):
+    signed scaled value -> rounded signed scaled value."""
+    mag = _rne_u64(xp.abs(t).astype(xp.uint64), P, xp).astype(xp.int64)
+    return xp.where(t < 0, -mag, mag)
+
+
+def _chroma_chain_i64(r, g, b, M, sgn, xp):
+    """The rounded double sum C of a chroma row at scale 2^-56: a
+    single RNE53 of the exact rational sum (the collapse of the three
+    per-operation roundings is proven bit-identical downstream by the
+    exhaustive LOW3 sweep, exactly like the no-gain RNE24 collapse)."""
+    t = (xp.int64(sgn[0] * M[0]) * r.astype(xp.int64)
+         + xp.int64(sgn[1] * M[1]) * g.astype(xp.int64)
+         + xp.int64(sgn[2] * M[2]) * b.astype(xp.int64))
+    return _rne_i64(t, 53, xp)
+
+
+def _chroma_out(c_int, xp):
+    """Signed exact-scaled chroma double -> fl32 narrow ->
+    +128.5f/+128.4f float32 add -> (int) trunc (all exact steps)."""
+    c32 = _rne_u64(xp.abs(c_int).astype(xp.uint64), 24, xp)
+    neg = c_int < 0
+    w = xp.where(neg, xp.uint64(_HI_N) - c32, c32 + xp.uint64(_HI_P))
+    ovf = (~neg) & (w < c32)        # C32 == +127.5 wraps at exactly 2^64
+    out = (_rne_u64(w, 24, xp) >> xp.uint64(56)).astype(xp.int64)
+    return xp.where(ovf, xp.int64(256), out)
 
 
 def _clip_u8(v, xp):
@@ -197,26 +229,24 @@ def _yuv_full(rgb, quality: int, xp, qtz=None):
         return (y.astype(xp.int16), _clip_u8(u, xp).astype(xp.uint8),
                 _clip_u8(v, xp).astype(xp.uint8))
 
-    ys = _sum3(sf.mul_small_int(_CO_Y[0], r, xp),
-               sf.mul_small_int(_CO_Y[1], g, xp),
-               sf.mul_small_int(_CO_Y[2], b, xp), xp)
-    cb = _sum3(sf.mul_small_int(_CO_U[0], r, xp),
-               sf.mul_small_int(_CO_U[1], g, xp),
-               sf.mul_small_int(_CO_U[2], b, xp), xp)
-    cr = _sum3(sf.mul_small_int(_CO_V[0], r, xp),
-               sf.mul_small_int(_CO_V[1], g, xp),
-               sf.mul_small_int(_CO_V[2], b, xp), xp)
-
-    if quality in (T.LOW1, T.LOW2, T.LOW3):
-        ys = sf.mul_const(ys, _GAIN[quality], 53, xp)
+    # gain qualities (q17-19): exact replay + limb gain multiply
+    s = _gain_mul_rne53(_y_chain_u64(r, g, b, xp),
+                        _MI_GAIN[quality], xp)
+    w = _rne_u64(s + xp.uint64(1 << 55), 53, xp)
+    y = (w >> xp.uint64(56)).astype(xp.int64)
     if quality == T.LOW3:
-        cb = sf.mul_const(cb, _GAIN[T.LOW3], 53, xp)
-        cr = sf.mul_const(cr, _GAIN[T.LOW3], 53, xp)
+        # chroma gain too: replayed signed chain, gain on the magnitude
+        def _cg(M, sgn):
+            c = _chroma_chain_i64(r, g, b, M, sgn, xp)
+            mag = _gain_mul_rne53(xp.abs(c).astype(xp.uint64),
+                                  _MI_GAIN[T.LOW3], xp).astype(xp.int64)
+            return _chroma_out(xp.where(c < 0, -mag, mag), xp)
 
-    y = sf.trunc_to_int(
-        sf.add(ys, _const_bcast(_HALF, ys[0], xp), 53, xp), 53, xp)
-    u = _chroma(cb, xp)
-    v = _chroma(cr, xp)
+        u = _cg(_MI_U, (-1, -1, 1))
+        v = _cg(_MI_V, (1, -1, -1))
+    else:
+        u = _chroma_fast(r, g, b, _MI_U, (-1, -1, 1), xp)
+        v = _chroma_fast(r, g, b, _MI_V, (1, -1, -1), xp)
     return (y.astype(xp.int16), _clip_u8(u, xp).astype(xp.uint8),
             _clip_u8(v, xp).astype(xp.uint8))
 
