@@ -184,23 +184,30 @@ static const int EXW2[19] = {60,62,66,68,70,74,76,78,82,84,86,90,92,94,98,
  * or reads pf[i+1]), a>12 with a&7>=6 (writes pf[i+1]), and under
  * low4 every |a|>=14 (quant/quant6/quant4 ladder advance sites). */
 #define OFFSET_LUT_SLOW ((int16_t)-32768)
-static int16_t offset_y_lut[65536];
-static int offset_y_lut_m1 = -1, offset_y_lut_low4 = -1;
+/* One immutable slot per low4 mode, each built ONCE (under the lock)
+ * for the first m1 seen and never modified afterwards — concurrent
+ * scans with different qualities can therefore never observe a
+ * half-rebuilt table.  A call with a different m1 than the slot was
+ * built for simply runs the original scan body (m1 is the dead-zone
+ * `ratio`, fixed at 8 by the CLI contract, so in practice the slots
+ * build once per process). */
+static int16_t offset_y_lut[2][65536];
+static int offset_y_lut_m1[2] = {-1, -1};
 static pthread_mutex_t offset_y_lut_mu = PTHREAD_MUTEX_INITIALIZER;
 
-/* (re)build under a lock: the chunk pipeline calls the scans from
- * worker threads, and the cache key must change atomically with the
- * table content. */
-static void nhw_build_offset_y_lut(int m1, int low4)
+/* returns 1 iff the slot for this (m1, low4) is built and usable */
+static int nhw_build_offset_y_lut(int m1, int low4)
 {
     long v;
-    if (offset_y_lut_m1 == m1 && offset_y_lut_low4 == low4) return;
+    int usable;
+    int16_t *lut = offset_y_lut[low4];
+    if (offset_y_lut_m1[low4] == m1) return 1;
     pthread_mutex_lock(&offset_y_lut_mu);
-    if (offset_y_lut_m1 == m1 && offset_y_lut_low4 == low4) {
+    if (offset_y_lut_m1[low4] != -1) {
+        usable = offset_y_lut_m1[low4] == m1;
         pthread_mutex_unlock(&offset_y_lut_mu);
-        return;
+        return usable;
     }
-    offset_y_lut_m1 = -2;
     for (v = -32768; v <= 32767; v++) {
         uint16_t idx = (uint16_t)v;
         int a = (int)v;
@@ -208,7 +215,7 @@ static void nhw_build_offset_y_lut(int m1, int low4)
             || (a < -12 && (((-a) & 7) >= 6))
             || (a > 12 && ((a & 7) >= 6) && a <= 10000)
             || (low4 && (a >= 14 || a <= -14) && a <= 10000)) {
-            offset_y_lut[idx] = OFFSET_LUT_SLOW;
+            lut[idx] = OFFSET_LUT_SLOW;
             continue;
         }
         if (a > 10000) {
@@ -222,17 +229,17 @@ static void nhw_build_offset_y_lut(int m1, int low4)
             case 12100: r = 121; break;
             case 12200: r = 122; break;
             }
-            offset_y_lut[idx] = (int16_t)r;
+            lut[idx] = (int16_t)r;
             continue;
         }
         if (a > 127) {
             int exw = ((a & 0xfff8) - 128) >> 3;
-            offset_y_lut[idx] = (int16_t)EXW1[exw > 18 ? 18 : exw];
+            lut[idx] = (int16_t)EXW1[exw > 18 ? 18 : exw];
             continue;
         }
         if (a < -127) {
             int exw = (((-a) & 0xfff8) - 128) >> 3;
-            offset_y_lut[idx] = (int16_t)EXW2[exw > 18 ? 18 : exw];
+            lut[idx] = (int16_t)EXW2[exw > 18 ? 18 : exw];
             continue;
         }
         if (a < 0) {
@@ -241,13 +248,13 @@ static void nhw_build_offset_y_lut(int m1, int low4)
             else if ((a & 7) < 7) a &= 504;
             a = -a;
         }
-        if (a < m1 && a > -m1) { offset_y_lut[idx] = 128; continue; }
+        if (a < m1 && a > -m1) { lut[idx] = 128; continue; }
         a += 128;
-        offset_y_lut[idx] = (int16_t)(a & 248);
+        lut[idx] = (int16_t)(a & 248);
     }
-    offset_y_lut_m1 = m1;
-    offset_y_lut_low4 = low4;
+    offset_y_lut_m1[low4] = m1;  /* publish last (x86 TSO) */
     pthread_mutex_unlock(&offset_y_lut_mu);
+    return 1;
 }
 
 void nhw_offset_y(int16_t *pf, int quality, int m1, int low4)
@@ -257,7 +264,9 @@ void nhw_offset_y(int16_t *pf, int quality, int m1, int low4)
      * BOTH pair members > 7; the pass only ever decrements, so a
      * vectorizable pre-screen on the original values is a safe
      * superset and skips the (typically sparse) quiet majority. */
-    static uint8_t gt[4 * SZ + 1];
+    /* thread-local scratch: the chunk pipeline runs these scans from
+     * worker threads, so plain function-static buffers would race */
+    static __thread uint8_t gt[4 * SZ + 1];
     for (i = 0; i < 4 * SZ; i++)
         gt[i] = pf[i] > 7;
     gt[4 * SZ] = 0;
@@ -337,11 +346,12 @@ void nhw_offset_y(int16_t *pf, int quality, int m1, int low4)
      * the trigger values to the exact original scan body. */
     {
         int quant = 0, quant6 = 0, quant4 = 0;
-        nhw_build_offset_y_lut(m1, low4);
+        int use_lut = nhw_build_offset_y_lut(m1, low4);
+        const int16_t *lut = offset_y_lut[low4];
         for (i = 0; i < 4 * SZ; i++) {
             if (!(i & 511)) { quant = 0; quant6 = 0; }
-            {
-                int16_t fv = offset_y_lut[(uint16_t)pf[i]];
+            if (use_lut) {
+                int16_t fv = lut[(uint16_t)pf[i]];
                 if (fv != OFFSET_LUT_SLOW) { pf[i] = fv; continue; }
             }
             int a = pf[i];
@@ -3338,7 +3348,8 @@ void nhw_y_highres_compression(const int32_t *h, long h_len,
                                int32_t *hr_word, long *n_hr_word,
                                int32_t *hr_mem, long *n_hr_mem)
 {
-    static int32_t ch[3 * 16384 + 8];
+    /* thread-local scratch (threaded pipeline — see nhw_offset_y) */
+    static __thread int32_t ch[3 * 16384 + 8];
     long nc = 0, nhw_ = 0, nhm = 0, i, j, o;
     long e = 0, Y = 0, a = 0, cap = h_len - 1;
     int res_low;
@@ -3705,7 +3716,8 @@ void nhw_uv_highres_compression(const int32_t *h, int32_t *out, long *n_out)
 
 static void chroma_downsample(const uint8_t *c, uint8_t *out)
 {
-    static int32_t h[512][256];
+    /* thread-local scratch (threaded pipeline — see nhw_offset_y) */
+    static __thread int32_t h[512][256];
     int r, j;
     for (r = 0; r < 512; r++) {
         const uint8_t *row = c + (long)r * 512;
@@ -3736,7 +3748,8 @@ void nhw_downsample_yuv420(const uint8_t *rgb, int mode, float yq, int qtz,
      * row-sized scratch so the compiler vectorizes the float math
      * (4-wide double on AVX2); per-element operation order is
      * unchanged, so results stay bit-identical to the scalar form. */
-    static uint8_t uplane[512 * 512], vplane[512 * 512];
+    /* thread-local scratch (threaded pipeline — see nhw_offset_y) */
+    static __thread uint8_t uplane[512 * 512], vplane[512 * 512];
     long i, r0;
     if (mode == 3) {
         for (i = 0; i < 512L * 512; i++) {
@@ -4338,8 +4351,9 @@ void nhw_finish_stream(const int32_t *positions, long n_pos,
                        uint8_t *bit_out, long *bit_len,
                        uint8_t *word_out, long *n_word_out)
 {
-    static int32_t dd[SZ + 2 * D + 8];
-    static int32_t nm[SZ + 2 * D + 8];
+    /* thread-local scratch (threaded pipeline — see nhw_offset_y) */
+    static __thread int32_t dd[SZ + 2 * D + 8];
+    static __thread int32_t nm[SZ + 2 * D + 8];
     long nd = 0, nnm = 0, o = 0, i, y, blk;
 
     /* dedupe isolated 254 markers between ascending neighbours */
@@ -4463,7 +4477,8 @@ void nhw_stream_positions(const uint8_t *res_in, long n, int64_t *pos,
                           long n_entries, int row_step, int first_count,
                           int pack_shift)
 {
-    static uint8_t r[1 << 17];
+    /* thread-local scratch (threaded pipeline — see nhw_offset_y) */
+    static __thread uint8_t r[1 << 17];
     long stage = 0, count, i;
     if (n > (long)sizeof(r)) n = sizeof(r);
     for (i = 0; i < n; i++) r[i] = res_in[i];
