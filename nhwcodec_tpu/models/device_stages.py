@@ -43,7 +43,7 @@ def _cat2(low, high):
     return jnp.concatenate([low, high], axis=-1).astype(jnp.int16)
 
 
-def _stage(jpeg_blk):
+def _stage_xla(jpeg_blk):
     """One wavelet_analysis level on an (..., M, M) block given the
     block content of ``jpeg``: returns (jpeg_blk', process_blk) exactly
     as the in-place host driver leaves them *before* the LL
@@ -58,18 +58,59 @@ def _stage(jpeg_blk):
     return j, p
 
 
-def analysis_y(y):
+@functools.lru_cache(maxsize=1)
+def _backend_is_tpu() -> bool:
+    try:
+        d = jax.devices()[0]
+        return d.platform in ("tpu", "axon") or "TPU" in str(d)
+    except Exception:  # noqa: BLE001 — no backend at all
+        return False
+
+
+def _stage_pallas(jpeg_blk):
+    """_stage via the fused VMEM Pallas kernel (one HBM round-trip per
+    level instead of one per filter pass).  Traced with x64 disabled:
+    the caller may be inside the softfloat front's enable_x64 scope,
+    where weak-typed Python ints become i64 scalars Mosaic cannot
+    legalize — the kernel itself is pure int16/int32."""
+    from nhwcodec_tpu.ops import pallas_dwt
+
+    n = jpeg_blk.shape[-1]
+    x = jpeg_blk.reshape((-1, n, n)).astype(jnp.int16)
+    with jax.enable_x64(False):
+        j, p = pallas_dwt.analysis_level_pallas_jp(x)
+    return j.reshape(jpeg_blk.shape), p.reshape(jpeg_blk.shape)
+
+
+def _resolve_fused(fused) -> bool:
+    """None -> auto: the Mosaic kernel on a real chip, slice algebra
+    under XLA:CPU (tests / virtual meshes, where interpret-mode Pallas
+    would be orders of magnitude slower).  Multi-chip callers pass
+    fused=False: a pallas_call inside jit is an opaque custom call the
+    GSPMD partitioner cannot split over a >1-device mesh (the sharded
+    path would need a shard_map wrapper instead)."""
+    return _backend_is_tpu() if fused is None else bool(fused)
+
+
+def _stage(jpeg_blk, fused: bool = False):
+    if fused:
+        return _stage_pallas(jpeg_blk)
+    return _stage_xla(jpeg_blk)
+
+
+def analysis_y(y, fused=None):
     """(..., 512, 512) int16 pre-processed luma -> (jpeg, process,
     res256, snap): the exact post-second-analysis state of encode_y
     (models/encoder.py) before the requant ladder."""
+    fused = _resolve_fused(fused)
     y = jnp.asarray(y).astype(jnp.int16)
     with jax.named_scope("nhw.analysis_y.level1"):
-        j1, p1 = _stage(y)
+        j1, p1 = _stage(y, fused)
     snap = j1[..., :D, :]                      # flat [:2*IM_SIZE] rows
     jpeg = j1.at[..., :D, :D].set(_t(p1[..., :D, :D]))
     res256 = jpeg[..., :D, :D]
     with jax.named_scope("nhw.analysis_y.level2"):
-        j2, p2 = _stage(res256)
+        j2, p2 = _stage(res256, fused)
     process = p1.at[..., :D, :D].set(p2)
     jpeg = jpeg.at[..., :D, :D].set(j2)        # last_stage: no LL put-back
     return jpeg, process, res256, snap
@@ -96,11 +137,12 @@ def _pre_processing_uv_device(jpeg, quality: int):
             ).astype(jnp.int16)
 
 
-def analysis_uv(c, quality: int):
+def analysis_uv(c, quality: int, fused=None):
     """(..., 256, 256) uint8 downsampled chroma -> (jpeg, process,
     res256): the exact encode_uv state after its second analysis
     (encoder/nhw_encoder.c:2256-2314), incl. the q<=LOW6 pre-filter and
     the q<=LOW4 band dead-zone."""
+    fused = _resolve_fused(fused)
     jpeg = jnp.asarray(c).astype(jnp.int16)
     if quality <= T.LOW6:
         # (the reference also copies jpeg into process first; that copy
@@ -108,7 +150,7 @@ def analysis_uv(c, quality: int):
         with jax.named_scope("nhw.analysis_uv.prefilter"):
             jpeg = _pre_processing_uv_device(jpeg, quality)
     with jax.named_scope("nhw.analysis_uv.level1"):
-        j1, p1 = _stage(jpeg)
+        j1, p1 = _stage(jpeg, fused)
     jpeg = j1.at[..., :128, :128].set(_t(p1[..., :128, :128]))
     res256 = jpeg[..., :128, :128]
 
@@ -123,7 +165,7 @@ def analysis_uv(c, quality: int):
         p1 = p1.at[..., 128:, 128:].set(dz(p1[..., 128:, 128:], 8, 48))
 
     with jax.named_scope("nhw.analysis_uv.level2"):
-        j2, p2 = _stage(res256)
+        j2, p2 = _stage(res256, fused)
     process = p1.at[..., :128, :128].set(p2)
     jpeg = jpeg.at[..., :128, :128].set(j2)
     return jpeg, process, res256
@@ -145,27 +187,28 @@ def _uv_program_key(quality: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_analysis(key: int):
+def _jitted_analysis(key: int, fused: bool):
     def run(y, u, v):
-        yj, yp, yr, ys = analysis_y(y)
-        uj, up, ur = analysis_uv(u, key)
-        vj, vp, vr = analysis_uv(v, key)
+        yj, yp, yr, ys = analysis_y(y, fused)
+        uj, up, ur = analysis_uv(u, key, fused)
+        vj, vp, vr = analysis_uv(v, key, fused)
         return (yj, yp, yr, ys), (uj, up, ur), (vj, vp, vr)
 
     return jax.jit(run)
 
 
-def analysis_front_device(y, u, v, quality: int):
+def analysis_front_device(y, u, v, quality: int, fused=None):
     """Batched device analysis of the (possibly host-pre-filtered) Y
     plane and downsampled chroma planes.  Returns host numpy trees
     ((y_jpeg, y_process, y_res256, y_snap), (u_jpeg, u_process,
     u_res256), (v_...)) ready for the host scans."""
-    out = _jitted_analysis(_uv_program_key(quality))(y, u, v)
+    out = _jitted_analysis(_uv_program_key(quality),
+                           _resolve_fused(fused))(y, u, v)
     return jax.tree_util.tree_map(np.asarray, out)
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_front(key: int):
+def _jitted_front(key: int, fused: bool):
     from nhwcodec_tpu.ops import colorspace_device as csd
 
     def run(rgb):
@@ -174,21 +217,21 @@ def _jitted_front(key: int):
         y, u, v = csd._yuv_full(rgb, key, jnp)
         u = csd._down420(u, jnp)
         v = csd._down420(v, jnp)
-        yj, yp, yr, ys = analysis_y(y)
-        uj, up, ur = analysis_uv(u, key)
-        vj, vp, vr = analysis_uv(v, key)
+        yj, yp, yr, ys = analysis_y(y, fused)
+        uj, up, ur = analysis_uv(u, key, fused)
+        vj, vp, vr = analysis_uv(v, key, fused)
         return (y, u, v), (yj, yp, yr, ys), (uj, up, ur), (vj, vp, vr)
 
     return jax.jit(run)
 
 
-def encode_front_device(rgb, quality: int):
+def encode_front_device(rgb, quality: int, fused=None):
     """Fused single-launch front end (colorspace + analysis) for the
     qualities with no Y pre-filter (q > HIGH1): RGB batch in, all
     transform state out.  x64-traced for the softfloat lanes."""
     assert quality > T.HIGH1, "fused front end: q>HIGH1 only"
     with jax.enable_x64(True):
-        out = _jitted_front(T.NORM)(rgb)
+        out = _jitted_front(T.NORM, _resolve_fused(fused))(rgb)
     return jax.tree_util.tree_map(np.asarray, out)
 
 

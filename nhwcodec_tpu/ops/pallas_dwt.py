@@ -211,6 +211,53 @@ def _analysis_level_kernel(plane_ref, out_ref, *, m):
     out_ref[0] = out.astype(jnp.int16)
 
 
+def _analysis_level_jp_kernel(plane_ref, j_ref, p_ref, *, m):
+    h = m
+    x = plane_ref[0].astype(jnp.int32)
+    lowT, highT = _down_cols_iv(x.T, m)
+    t = jnp.concatenate([lowT, highT], axis=0).astype(jnp.int16)
+    j_ref[0] = t
+    tt = t.T.astype(jnp.int32)
+    if m >= 128:
+        topT_l, topT_h = _down_cols_vi(tt[:, :h], m)
+        botT_l, botT_h = _down_cols_53(tt[:, h:], m)
+        outT = jnp.concatenate([
+            jnp.concatenate([topT_l, botT_l], axis=1),
+            jnp.concatenate([topT_h, botT_h], axis=1)], axis=0)
+    else:
+        # m == 64: duplicate-filter + per-lane select (see above)
+        vi_l, vi_h = _down_cols_vi(tt, m)
+        p_l, p_h = _down_cols_53(tt, m)
+        lane = jax.lax.broadcasted_iota(jnp.int32, vi_l.shape, 1)
+        outT = jnp.concatenate([
+            jnp.where(lane < h, vi_l, p_l),
+            jnp.where(lane < h, vi_h, p_h)], axis=0)
+    p_ref[0] = outT.T.astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def analysis_level_pallas_jp(block: jnp.ndarray, interpret: bool = False
+                             ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One fused analysis level emitting the host driver's two in-place
+    buffers instead of the final combined layout: ``j`` (the transposed
+    row-pass plane — models.device_stages._stage's first output) and
+    ``p`` (the column-pass plane *before* the LL transpose-back — its
+    second output).  Feeds the exact encode front (device_stages)."""
+    b, n, _ = block.shape
+    m = n // 2
+    kernel = functools.partial(_analysis_level_jp_kernel, m=m)
+    spec = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[spec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((b, n, n), jnp.int16)] * 2,
+        interpret=interpret,
+    )(block)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def analysis_level_pallas(block: jnp.ndarray, interpret: bool = False
                           ) -> jnp.ndarray:

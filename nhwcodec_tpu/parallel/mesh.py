@@ -101,10 +101,13 @@ def encode_batch_sharded(mesh: Mesh, images: np.ndarray, quality: int = 20,
     b = len(images)
     sh = NamedSharding(mesh, P(axis))
     rgb = jax.device_put(np.ascontiguousarray(images), sh)
+    # the fused Pallas stage is an opaque custom call GSPMD cannot split
+    # over a >1-device mesh; keep the sharded path on slice algebra there
+    fused = None if mesh.size == 1 else False
 
     if quality > T.HIGH1:
         (y, u, v), pre_y, pre_u, pre_v = ds.encode_front_device(
-            rgb, quality)
+            rgb, quality, fused=fused)
         y1s = [np.ascontiguousarray(y[i]) for i in range(b)]
         origs = y1s
     else:
@@ -118,7 +121,7 @@ def encode_batch_sharded(mesh: Mesh, images: np.ndarray, quality: int = 20,
         u_sh = jax.device_put(np.ascontiguousarray(ud), sh)
         v_sh = jax.device_put(np.ascontiguousarray(vd), sh)
         pre_y, pre_u, pre_v = ds.analysis_front_device(
-            y1_sh, u_sh, v_sh, quality)
+            y1_sh, u_sh, v_sh, quality, fused=fused)
         u, v = ud, vd
 
     mp = sharded_megapixels(mesh, jax.device_put(np.stack(y1s), sh), axis)

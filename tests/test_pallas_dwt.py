@@ -50,6 +50,18 @@ a = jax.tree_util.tree_map(np.asarray, hybrid_interp(jnp.asarray(rgb)))
 b = jax.tree_util.tree_map(np.asarray, TR.encode_transform(jnp.asarray(rgb)))
 for x, y2 in zip(a, b):
     np.testing.assert_array_equal(x, y2)
+
+# the two-output (j, p) kernel feeding the exact encode front equals
+# device_stages' slice-algebra stage (512 covered on-chip in
+# tests/test_pallas_tpu.py; interpret mode is too slow there)
+from nhwcodec_tpu.models import device_stages as ds
+for n in (128, 256):
+    blk = rng.integers(-1800, 1800, size=(1, n, n)).astype(np.int16)
+    jw, pw = ds._stage_xla(jnp.asarray(blk))
+    jg, pg = pallas_dwt.analysis_level_pallas_jp(jnp.asarray(blk),
+                                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(jg), np.asarray(jw))
+    np.testing.assert_array_equal(np.asarray(pg), np.asarray(pw))
 print("OK")
 """
 

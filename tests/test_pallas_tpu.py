@@ -50,3 +50,51 @@ def test_pallas_analysis_level_matches_host_on_tpu():
         want = process.copy()
         want[:256, :256] = want[:256, :256].T  # device layout: LL back
         np.testing.assert_array_equal(got[i], want)
+
+
+@requires_tpu
+def test_pallas_jp_stage_matches_xla_on_tpu():
+    import jax.numpy as jnp
+
+    from nhwcodec_tpu.models import device_stages as ds
+    from nhwcodec_tpu.ops import pallas_dwt
+
+    rng = np.random.default_rng(2)
+    for n in (512, 256, 128):
+        x = rng.integers(-1800, 1800, (2, n, n)).astype(np.int16)
+        jw, pw = ds._stage_xla(jnp.asarray(x))
+        jg, pg = pallas_dwt.analysis_level_pallas_jp(jnp.asarray(x))
+        np.testing.assert_array_equal(np.asarray(jg), np.asarray(jw))
+        np.testing.assert_array_equal(np.asarray(pg), np.asarray(pw))
+
+
+@requires_tpu
+def test_fused_analysis_front_matches_xla_on_tpu():
+    from nhwcodec_tpu.models import device_stages as ds
+
+    rng = np.random.default_rng(3)
+    y = rng.integers(-40, 296, (2, 512, 512)).astype(np.int16)
+    u = rng.integers(0, 256, (2, 256, 256)).astype(np.uint8)
+    v = rng.integers(0, 256, (2, 256, 256)).astype(np.uint8)
+    for q in (20, 14):
+        a = ds.analysis_front_device(y, u, v, q, fused=True)
+        b = ds.analysis_front_device(y, u, v, q, fused=False)
+        for ta, tb in zip(jax.tree_util.tree_leaves(a),
+                          jax.tree_util.tree_leaves(b)):
+            np.testing.assert_array_equal(ta, tb)
+
+
+@requires_tpu
+def test_fused_x64_front_matches_xla_on_tpu():
+    # the q>HIGH1 fused front traces under enable_x64 (softfloat lanes);
+    # the Pallas stage must compile and agree there too (weak-typed i64
+    # scalars are re-traced x32 inside _stage_pallas)
+    from nhwcodec_tpu.models import device_stages as ds
+
+    rng = np.random.default_rng(4)
+    rgb = rng.integers(0, 256, (2, 512, 512, 3), np.uint8)
+    a = ds.encode_front_device(rgb, 23, fused=True)
+    b = ds.encode_front_device(rgb, 23, fused=False)
+    for ta, tb in zip(jax.tree_util.tree_leaves(a),
+                      jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(ta, tb)
