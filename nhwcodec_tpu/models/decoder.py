@@ -285,8 +285,86 @@ def _dering_mark_y(proc: np.ndarray) -> list[int]:
     return out
 
 
-def decode_y(s: NHWStreams, res_comp: np.ndarray) -> np.ndarray:
-    """Full Y decode: symbol stream -> (512,512) uint8 plane."""
+def _pos_of(v: np.ndarray) -> np.ndarray:
+    """Packed res-stream position -> 512-stride scan index."""
+    return ((v & 65280) << 1) + (v & 255)
+
+
+def _y_scatter_arrays(q, sub1, add1, sub5, add5, add43, sub43, add2, sub2):
+    """Transform-domain residue add-back as one flat (idx, delta) scatter
+    pair (decoder/nhw_decoder.c:721-787).  All entries are += adds, so
+    application order is free."""
+    idxs: list[np.ndarray] = []
+    dels: list[np.ndarray] = []
+
+    def put(pos: np.ndarray, d: int) -> None:
+        idxs.append(pos.astype(np.int64))
+        dels.append(np.full(pos.shape, d, np.int16))
+
+    if q >= T.HIGH1:
+        put(_pos_of(sub5), -3)
+        put(_pos_of(add5), 3)
+    if q > T.LOW8:
+        e = 5 if q >= T.LOW2 else (7 if q >= T.LOW5 else 9)
+        put(_pos_of(sub1), -e)
+        put(_pos_of(add1), e)
+    if q >= T.LOW1:
+        p = _pos_of(sub43)
+        put(p, -4)
+        put(p + N, -3)
+        p = _pos_of(add43)
+        put(p, 4)
+        put(p + N, 3)
+        for off in (0, N, 2 * N):
+            put(_pos_of(add2) + off, 2)
+            put(_pos_of(sub2) + off, -2)
+
+    if not idxs:
+        return np.zeros(0, np.int64), np.zeros(0, np.int16)
+    return np.concatenate(idxs), np.concatenate(dels)
+
+
+def _y_hq_scatter_arrays(q, sub6, add6, char_res1, qsetting3):
+    """HQ residue injection on the row-synthesized x8 plane as one flat
+    (idx, delta) scatter pair (decoder/nhw_decoder.c:747-787 via
+    wavelet_synthesis2; q>HIGH1 only)."""
+    idxs: list[np.ndarray] = []
+    dels: list[np.ndarray] = []
+
+    def put(pos: np.ndarray, d) -> None:
+        idxs.append(pos.astype(np.int64))
+        dels.append(np.broadcast_to(np.asarray(d, np.int16),
+                                    pos.shape).copy())
+
+    if q > T.HIGH1:
+        put(sub6, -32)
+        put(add6, 32)
+        v = char_res1.astype(np.int64)
+        m = v & 3
+        pos = ((v - m) << 1) + D - 2 + ((m >> 1) & 1)
+        put(pos, np.where(m & 1, -32, 32).astype(np.int16))
+    if q > T.HIGH2:
+        v = qsetting3.astype(np.int64)
+        put(v >> 1, np.where(v & 1, -56, 56).astype(np.int16))
+
+    if not idxs:
+        return np.zeros(0, np.int64), np.zeros(0, np.int16)
+    return np.concatenate(idxs), np.concatenate(dels)
+
+
+def _apply_pairs(flat: np.ndarray, idx: np.ndarray,
+                 delta: np.ndarray) -> None:
+    if len(idx):
+        np.add.at(flat, idx, delta)
+
+
+def decode_y_front(s: NHWStreams, res_comp: np.ndarray):
+    """Host front of the Y decode: entropy decode, de-serpentine,
+    positional stream unpack, sentinel expansion, LL2 placement, res4
+    parity, exw escapes, isolated smoothing
+    (decoder/nhw_decoder.c:54-711).  Returns (coefficient plane
+    (512*512,) int16, transform-domain scatter pair, HQ scatter pair) —
+    everything the synthesis back end (host or device) consumes."""
     q = s.quality
     sym = entropy.decode_y(s.packet1, s.tree1, s.select_word1,
                            s.select_word2, s.res_high)
@@ -349,6 +427,19 @@ def decode_y(s: NHWStreams, res_comp: np.ndarray) -> np.ndarray:
 
     _isolated_smooth_y(jpeg, q)
 
+    scat = _y_scatter_arrays(q, sub1, add1, sub5, add5,
+                             add43, sub43, add2, sub2)
+    hq = _y_hq_scatter_arrays(q, sub6, add6, s.char_res1, s.qsetting3)
+    return jpeg, scat, hq
+
+
+def decode_y_back(jpeg: np.ndarray, scat, hq, q: int) -> np.ndarray:
+    """Host synthesis back end of the Y decode (the device replica is
+    models.device_decode.decode_y_back_device): level-2 synthesis,
+    residue scatter, deringing, level-1 synthesis with HQ injection,
+    mark smoothing, final row synthesis, clip."""
+    plane = jpeg.reshape(N, N)
+
     # level-2 synthesis (wavelet_synthesis(im, 256, 0, 1))
     proc = np.zeros(4 * SZ, dtype=np.int16)
     blk = plane[:D, :D]
@@ -357,26 +448,7 @@ def decode_y(s: NHWStreams, res_comp: np.ndarray) -> np.ndarray:
     proc.reshape(N, N)[:D, :D] = ll1.astype(np.int16)
 
     # transform-domain residue add-back (decoder/nhw_decoder.c:721-787)
-    def pos_of(v: np.ndarray) -> np.ndarray:
-        return ((v & 65280) << 1) + (v & 255)
-
-    if q >= T.HIGH1:
-        _apply_at(proc, pos_of(sub5), -3)
-        _apply_at(proc, pos_of(add5), 3)
-    if q > T.LOW8:
-        e = 5 if q >= T.LOW2 else (7 if q >= T.LOW5 else 9)
-        _apply_at(proc, pos_of(sub1), -e)
-        _apply_at(proc, pos_of(add1), e)
-    if q >= T.LOW1:
-        p = pos_of(sub43)
-        _apply_at(proc, p, -4)
-        _apply_at(proc, p + N, -3)
-        p = pos_of(add43)
-        _apply_at(proc, p, 4)
-        _apply_at(proc, p + N, 3)
-        for off in (0, N, 2 * N):
-            _apply_at(proc, pos_of(add2) + off, 2)
-            _apply_at(proc, pos_of(sub2) + off, -2)
+    _apply_pairs(proc, *scat)
 
     marks = _dering_mark_y(proc)
 
@@ -386,25 +458,7 @@ def decode_y(s: NHWStreams, res_comp: np.ndarray) -> np.ndarray:
 
     # level-1 column synthesis + HQ residue injection (wavelet_synthesis2)
     proc = synth_unnorm(jp[:, :D], jp[:, D:]).reshape(-1).astype(np.int16)
-    if q > T.HIGH1:
-        _apply_at(proc, sub6, -32)
-        _apply_at(proc, add6, 32)
-        for v in s.char_res1.astype(np.int64).tolist():
-            m = v & 3
-            if m == 0:
-                proc[(v << 1) + D - 2] += 32
-            elif m == 1:
-                proc[((v - 1) << 1) + D - 2] -= 32
-            elif m == 2:
-                proc[((v - 2) << 1) + D - 1] += 32
-            else:
-                proc[((v - 3) << 1) + D - 1] -= 32
-    if q > T.HIGH2:
-        for v in s.qsetting3.astype(np.int64).tolist():
-            if not (v & 1):
-                proc[v >> 1] += 56
-            else:
-                proc[v >> 1] -= 56
+    _apply_pairs(proc, *hq)
     jpeg = proc.reshape(N, N).T.copy().reshape(-1)
 
     # smooth marked pixels (decoder/nhw_decoder.c:850-867), x8 domain
@@ -431,6 +485,12 @@ def decode_y(s: NHWStreams, res_comp: np.ndarray) -> np.ndarray:
     jp = jpeg.reshape(N, N)
     y = synth_norm(jp[:, :D], jp[:, D:])
     return np.clip(y, 0, 255).astype(np.uint8)
+
+
+def decode_y(s: NHWStreams, res_comp: np.ndarray) -> np.ndarray:
+    """Full Y decode: symbol stream -> (512,512) uint8 plane."""
+    jpeg, scat, hq = decode_y_front(s, res_comp)
+    return decode_y_back(jpeg, scat, hq, s.quality)
 
 
 # ---------------------------------------------------------------------------
@@ -535,10 +595,11 @@ def _upsample2x(plane: np.ndarray) -> np.ndarray:
     return h.astype(np.uint8)
 
 
-def decode_uv_plane(s: NHWStreams, res_comp: np.ndarray, sym_uv: np.ndarray,
+def decode_uv_front(s: NHWStreams, res_comp: np.ndarray, sym_uv: np.ndarray,
                     component: int, exw_start: int) -> tuple[np.ndarray, int]:
-    """Decode one chroma plane -> (512,512) uint8.  Returns (plane,
-    exw index after this component's section)."""
+    """Host front of one chroma plane: de-serpentine, LL2 placement, exw
+    escapes (decoder/nhw_decoder.c:904-979).  Returns (coefficient plane
+    (256*256,) int16, exw index after this component's section)."""
     q = s.quality
     jpeg = geometry.deserpentine_uv(sym_uv, component).reshape(-1).astype(np.int16)
 
@@ -564,8 +625,14 @@ def decode_uv_plane(s: NHWStreams, res_comp: np.ndarray, sym_uv: np.ndarray,
             e1 = exw[i + 1]
         jpeg[(exw[i] << 8) + e1] = val
         i += 3
-    next_i = i
+    return jpeg, i
 
+
+def decode_uv_synth(jpeg: np.ndarray) -> np.ndarray:
+    """Host synthesis core of one chroma plane (device replica:
+    models.device_decode.uv_synth_device): level-2 synthesis, residue
+    sentinels, full synthesis to 256x256.  Mutates ``jpeg``; returns the
+    pre-sharpen (256*256,) int16 plane."""
     # level-2 synthesis (wavelet_synthesis(im, 128, 0, 0))
     jp = jpeg.reshape(D, D)
     t1 = synth_unnorm(jp[:128, :64], jp[:128, 64:128]).astype(np.int16)
@@ -580,12 +647,24 @@ def decode_uv_plane(s: NHWStreams, res_comp: np.ndarray, sym_uv: np.ndarray,
     jp[:128, :128] = proc.reshape(D, D)[:128, :128].T
     t2 = synth_unnorm(jp[:, :128], jp[:, 128:]).astype(np.int16)
     out = synth_norm(t2.T[:, :128], t2.T[:, 128:])
-    proc = out.reshape(-1).astype(np.int16)
+    return out.reshape(-1).astype(np.int16)
 
+
+def decode_uv_back(proc: np.ndarray, q: int) -> np.ndarray:
+    """Sharpen + clip + bilinear upsample -> (512,512) uint8
+    (decoder/nhw_decoder.c:1082-1181)."""
     _uv_sharpen(proc, q)
-
     np.clip(proc, 0, 255, out=proc)
-    return _upsample2x(proc.reshape(D, D)), next_i
+    return _upsample2x(proc.reshape(D, D))
+
+
+def decode_uv_plane(s: NHWStreams, res_comp: np.ndarray, sym_uv: np.ndarray,
+                    component: int, exw_start: int) -> tuple[np.ndarray, int]:
+    """Decode one chroma plane -> (512,512) uint8.  Returns (plane,
+    exw index after this component's section)."""
+    jpeg, next_i = decode_uv_front(s, res_comp, sym_uv, component, exw_start)
+    proc = decode_uv_synth(jpeg)
+    return decode_uv_back(proc, s.quality), next_i
 
 
 # ---------------------------------------------------------------------------

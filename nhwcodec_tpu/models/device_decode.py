@@ -1,0 +1,248 @@
+"""Device back end of the bit-exact decode pipeline.
+
+Batched, jittable replicas of the decoder's synthesis stages
+(models.decoder.decode_y_back / decode_uv_synth).  The split mirrors the
+encode side: the inherently raster-sequential automata stay on host, the
+plane transforms run on the chip.
+
+- host front:   container parse, Huffman decode, positional streams,
+                sentinel expansion, LL2/res4/exw, isolated smoothing
+                (decoder/nhw_decoder.c:54-711)
+- device 1:     Y level-2 synthesis + transform-domain residue scatter
+                (:713-787); full UV synthesis including the residue
+                sentinels as vectorized masked adds (:981-1079)
+- host:         Y dering mark pass (sequential Gauss-Seidel, :789-839),
+                UV sharpen (:1082-1109) + clip + upsample
+- device 2:     Y level-1 synthesis + HQ injection + mark smoothing (a
+                ``lax.scan`` over the mark list — live reads, exactly the
+                reference's in-order pass) + final row synthesis + clip
+                (:841-891)
+
+The device programs are quality-independent: every per-q branch lives in
+the host front, which hands the back end nothing but planes and padded
+(index, delta) scatter pairs.  Bit-exact equality vs the host back end:
+tests/test_device_decode.py; byte-identical BMPs end to end:
+decode_batch_device below.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nhwcodec_tpu.ops.lifting import synth_norm, synth_unnorm
+
+D = 256
+N = 512
+SZ = 65536
+
+
+def _t(x):
+    return jnp.swapaxes(x, -2, -1)
+
+
+def _scatter_add(flat, idx, delta):
+    """flat: (B, L) int16, idx: (B, K) int32 (0-padded), delta: (B, K)
+    int16 (0-padded).  np.add.at semantics (duplicates accumulate)."""
+    bidx = jnp.arange(flat.shape[0], dtype=jnp.int32)[:, None]
+    return flat.at[bidx, idx].add(delta)
+
+
+@jax.jit
+def y_stage1_device(jpeg, idx, delta):
+    """(B,512,512) int16 coefficient plane + padded transform-domain
+    scatter -> (B,256,256) int16 LL1 proc block (decode_y_back through
+    the residue add-back; the scatter rows beyond 255 land outside the
+    block and are never read, exactly like the host's 512-stride
+    slack)."""
+    b = jpeg.shape[0]
+    blk = jpeg[:, :D, :D]
+    t1 = synth_unnorm(blk[..., :128], blk[..., 128:], xp=jnp).astype(jnp.int16)
+    ll1 = synth_norm(_t(t1)[..., :128], _t(t1)[..., 128:], xp=jnp)
+    proc = jnp.zeros((b, N, N), jnp.int16).at[:, :D, :D].set(
+        ll1.astype(jnp.int16))
+    flat = _scatter_add(proc.reshape(b, -1), idx, delta)
+    return flat.reshape(b, N, N)[:, :D, :D]
+
+
+@jax.jit
+def y_stage2_device(jpeg, proc_ll1, hq_idx, hq_delta, marks, marks_valid):
+    """Post-dering continuation: transpose LL1 back into the coefficient
+    plane, level-1 row synthesis, HQ residue scatter, transpose, mark
+    smoothing scan, final row synthesis, clip -> (B,512,512) uint8.
+
+    marks: (B, K) int32 packed row*256+col records (pad with (1<<8)|1 —
+    a safe in-bounds read — and marks_valid False)."""
+    b = jpeg.shape[0]
+    jp = jpeg.at[:, :D, :D].set(_t(proc_ll1))
+    t = synth_unnorm(jp[..., :D], jp[..., D:], xp=jnp).astype(jnp.int16)
+    flat = _scatter_add(t.reshape(b, -1), hq_idx, hq_delta)
+    x8 = _t(flat.reshape(b, N, N)).reshape(b, -1)
+
+    def smooth_one(plane, recs, valid):
+        def body(p, rv):
+            rec, v = rv
+            scan = ((rec >> 8) << 10) + (rec & 255)
+
+            def g(off):
+                return p[scan + off].astype(jnp.int32)
+
+            c, le, ri = g(0), g(-1), g(1)
+            up, dn = g(-N), g(N)
+            res = ((c << 3) - le - ri - up - dn
+                   - g(-N - 1) - g(N - 1) - g(-N + 1) - g(N + 1))
+            new = ((c << 2) + le + ri + up + dn + 4) >> 3
+            take = v & (jnp.abs(res) < 116)
+            p = p.at[scan].set(
+                jnp.where(take, new.astype(jnp.int16), p[scan]))
+            return p, None
+
+        plane, _ = jax.lax.scan(body, plane, (recs, valid))
+        return plane
+
+    x8 = jax.vmap(smooth_one)(x8, marks, marks_valid)
+
+    jp = x8.reshape(b, N, N)
+    y = synth_norm(jp[..., :D], jp[..., D:], xp=jnp)
+    return jnp.clip(y, 0, 255).astype(jnp.uint8)
+
+
+def _uv_sentinel_deltas(vals):
+    """Masked sentinel decode (decoder/nhw_decoder.c:991-1069): value
+    plane -> (delta at tgt, delta at tgt+1, clear mask)."""
+    v = vals.astype(jnp.int32)
+    pair = jnp.where(v == 5005, -4, jnp.where(v == 5006, 4, 0))
+    single = jnp.where(v == 5003, -6, jnp.where(v == 5004, 6, 0))
+    d0 = (pair + single).astype(jnp.int16)
+    d1 = pair.astype(jnp.int16)
+    clear = (v >= 5003) & (v <= 5006)
+    return d0, d1, clear
+
+
+@jax.jit
+def uv_synth_device(jpeg):
+    """(B,256,256) int16 chroma coefficient plane -> (B,256,256) int16
+    pre-sharpen plane (decode_uv_synth replica; the residue sentinels
+    are independent scatter-adds, applied as masked slice adds)."""
+    b = jpeg.shape[0]
+    blk = jpeg[:, :128, :128]
+    t1 = synth_unnorm(blk[..., :64], blk[..., 64:], xp=jnp).astype(jnp.int16)
+    ll1 = synth_norm(_t(t1)[..., :64], _t(t1)[..., 64:], xp=jnp)
+    proc = jnp.zeros((b, D, D), jnp.int16).at[:, :128, :128].set(
+        ll1.astype(jnp.int16))
+
+    # sentinels in the upper-right band: scan=(r,128+c), tgt=(r,c)
+    d0, d1, clear = _uv_sentinel_deltas(jpeg[:, :128, 128:])
+    proc = proc.at[:, :128, :128].add(d0)
+    proc = proc.at[:, :128, 1:129].add(d1)
+    jpeg = jpeg.at[:, :128, 128:].set(
+        jnp.where(clear, jnp.int16(0), jpeg[:, :128, 128:]))
+
+    # lower half: scan=(128+r,c), tgt=(r,c) for c<128 / (r,c-128) else
+    for sl in (slice(0, 128), slice(128, 256)):
+        d0, d1, clear = _uv_sentinel_deltas(jpeg[:, 128:, sl])
+        proc = proc.at[:, :128, :128].add(d0)
+        proc = proc.at[:, :128, 1:129].add(d1)
+        jpeg = jpeg.at[:, 128:, sl].set(
+            jnp.where(clear, jnp.int16(0), jpeg[:, 128:, sl]))
+
+    jp = jpeg.at[:, :128, :128].set(_t(proc[:, :128, :128]))
+    t2 = synth_unnorm(jp[..., :128], jp[..., 128:], xp=jnp).astype(jnp.int16)
+    out = synth_norm(_t(t2)[..., :128], _t(t2)[..., 128:], xp=jnp)
+    return out.astype(jnp.int16)
+
+
+# ---------------------------------------------------------------------------
+# host-side padding + batch orchestration
+
+
+def _bucket(n: int, lo: int = 8) -> int:
+    k = lo
+    while k < n:
+        k <<= 1
+    return k
+
+
+def pad_scatter(pairs) -> tuple[np.ndarray, np.ndarray]:
+    """[(idx, delta)] per image -> (B, K) int32/int16 zero-padded (index
+    0 + delta 0 is a no-op add)."""
+    k = _bucket(max((len(i) for i, _ in pairs), default=0))
+    b = len(pairs)
+    idx = np.zeros((b, k), np.int32)
+    dl = np.zeros((b, k), np.int16)
+    for n, (i, d) in enumerate(pairs):
+        idx[n, : len(i)] = i
+        dl[n, : len(i)] = d
+    return idx, dl
+
+
+def pad_marks(marks_list) -> tuple[np.ndarray, np.ndarray]:
+    """Per-image mark record lists -> ((B, K) int32 recs, (B, K) bool)."""
+    k = _bucket(max((len(m) for m in marks_list), default=0))
+    b = len(marks_list)
+    recs = np.full((b, k), (1 << 8) | 1, np.int32)
+    valid = np.zeros((b, k), bool)
+    for n, m in enumerate(marks_list):
+        recs[n, : len(m)] = m
+        valid[n, : len(m)] = True
+    return recs, valid
+
+
+def decode_batch_device(datas) -> list[np.ndarray]:
+    """Batched bit-exact decode with the synthesis back end on device:
+    .nhw byte strings -> (512,512,3) uint8 RGB arrays, byte-identical to
+    models.decoder.decode (tests/test_device_decode.py)."""
+    from nhwcodec_tpu.models import decoder as dec
+    from nhwcodec_tpu.ops import dc_plane, entropy
+    from nhwcodec_tpu.utils.container import parse_nhw
+
+    b = len(datas)
+    ys, scats, hqs = [], [], []
+    us, vs, quals = [], [], []
+    for data in datas:
+        s = parse_nhw(data)
+        res_comp = dc_plane.decode_dc_planes(
+            s.res_ch, s.highres_comp, s.res_U_64, s.res_V_64,
+            s.quality, s.res_high)
+        jpeg, scat, hq = dec.decode_y_front(s, res_comp)
+        ys.append(jpeg.reshape(N, N))
+        scats.append(scat)
+        hqs.append(hq)
+        sym_uv = entropy.decode_uv(s.packet2, s.tree2, s.tree_end)
+        exw1 = dec._y_exw_end(s)
+        ju, exw1 = dec.decode_uv_front(s, res_comp, sym_uv, 0, exw1 + 2)
+        jv, _ = dec.decode_uv_front(s, res_comp, sym_uv, 1, exw1 + 2)
+        us.append(ju.reshape(D, D))
+        vs.append(jv.reshape(D, D))
+        quals.append(s.quality)
+
+    jpeg_dev = jax.device_put(np.stack(ys))
+    idx, dl = pad_scatter(scats)
+    proc_ll1 = np.asarray(y_stage1_device(jpeg_dev, idx, dl))
+
+    # host dering (sequential; mutates the LL1 block exactly like the
+    # reference's in-place pass)
+    marks_list = []
+    post = np.empty_like(proc_ll1)
+    for i in range(b):
+        p512 = np.zeros(4 * SZ, np.int16)
+        p512.reshape(N, N)[:D, :D] = proc_ll1[i]
+        marks_list.append(dec._dering_mark_y(p512))
+        post[i] = p512.reshape(N, N)[:D, :D]
+
+    hq_idx, hq_dl = pad_scatter(hqs)
+    recs, valid = pad_marks(marks_list)
+    y_planes = np.asarray(y_stage2_device(
+        jpeg_dev, jax.device_put(post), hq_idx, hq_dl, recs, valid))
+
+    pre_u = np.asarray(uv_synth_device(jax.device_put(np.stack(us))))
+    pre_v = np.asarray(uv_synth_device(jax.device_put(np.stack(vs))))
+
+    out = []
+    for i in range(b):
+        u = dec.decode_uv_back(pre_u[i].reshape(-1).copy(), quals[i])
+        v = dec.decode_uv_back(pre_v[i].reshape(-1).copy(), quals[i])
+        out.append(dec.yuv_to_rgb(y_planes[i], u, v, quals[i]))
+    return out

@@ -1,0 +1,36 @@
+"""models.device_decode: device synthesis back end == host decoder.
+
+The host decoder is golden-BMP-verified (tests/test_decoder.py); the
+device back end must reproduce it bit-for-bit.  The device programs are
+backend-portable: XLA:CPU in CI, the real chip under the tunnel.
+"""
+
+import numpy as np
+import pytest
+
+from nhwcodec_tpu.models import decoder, device_decode, encoder
+from nhwcodec_tpu.utils import fixtures
+
+
+def _streams(qs):
+    gens = list(fixtures.GENERATORS.values())
+    return [encoder.encode(gens[i % len(gens)](), q)
+            for i, q in enumerate(qs)]
+
+
+@pytest.mark.parametrize("q", [1, 8, 16, 20, 22, 23])
+def test_decode_batch_device_matches_host(q):
+    datas = _streams([q, q])
+    want = [decoder.decode(d) for d in datas]
+    got = device_decode.decode_batch_device(datas)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g)
+
+
+def test_decode_batch_device_mixed_qualities():
+    # the device programs are quality-independent: one batch, four q's
+    datas = _streams([4, 14, 19, 21])
+    want = [decoder.decode(d) for d in datas]
+    got = device_decode.decode_batch_device(datas)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g)
