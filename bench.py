@@ -125,6 +125,28 @@ def _device_numbers(b: int = 64) -> dict:
     out["device_decode_transform_mp_s"] = mp / _per_iter(
         _chain(dec_scalar), yc, 2, 26)
 
+    # the bit-exact decode synthesis back end (models.device_decode):
+    # Y stage1 + stage2 (incl. the mark-smoothing scan) + both UV planes
+    from nhwcodec_tpu.models import device_decode as dd
+
+    idx = jnp.zeros((b, 8), jnp.int32)
+    dl = jnp.zeros((b, 8), jnp.int16)
+    recs = jnp.full((b, 8), 257, jnp.int32)
+    val = jnp.zeros((b, 8), bool)
+    fused = jax.default_backend() != "cpu"
+
+    def dec_exact_scalar(inp):
+        u = inp[:, ::2, ::2].astype(jnp.int16)
+        proc = dd.y_stage1_device(inp, idx, dl, fused=fused)
+        y = dd.y_stage2_device(inp, proc, idx, dl, recs, val, fused=fused)
+        pu = dd.uv_synth_device(u, fused=fused)
+        pv = dd.uv_synth_device((u + 1).astype(jnp.int16), fused=fused)
+        return (y.astype(jnp.int32).sum() + pu.astype(jnp.int32).sum()
+                + pv.astype(jnp.int32).sum())
+
+    out["device_exact_decode_back_mp_s"] = mp / _per_iter(
+        _chain(dec_exact_scalar), yc, 2, 18)
+
     # the prefix-sum bit packer (tokens -> u32 words), Mtokens/s
     from nhwcodec_tpu.ops.entropy_device import (_tokens_to_codes_zone,
                                                  pack_bits_device)

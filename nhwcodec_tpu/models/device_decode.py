@@ -27,11 +27,14 @@ decode_batch_device below.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
+from nhwcodec_tpu.models.device_stages import _resolve_fused
 from nhwcodec_tpu.ops.lifting import synth_norm, synth_unnorm
 
 D = 256
@@ -43,6 +46,25 @@ def _t(x):
     return jnp.swapaxes(x, -2, -1)
 
 
+def _synth_level(blk, fused: bool):
+    """One full 2-D synthesis level (row un-norm pass, transpose, norm
+    pass — wavelet_synthesis(im, 2M) as composed by decode_y_back):
+    the fused VMEM Pallas kernel on chip, slice algebra elsewhere.
+    Returns int16."""
+    if fused:
+        from nhwcodec_tpu.ops import pallas_dwt
+
+        n = blk.shape[-1]
+        x = blk.reshape((-1, n, n)).astype(jnp.int16)
+        with jax.enable_x64(False):
+            out = pallas_dwt.synth_level_pallas(x)
+        return out.reshape(blk.shape)
+    m = blk.shape[-1] // 2
+    t1 = synth_unnorm(blk[..., :m], blk[..., m:], xp=jnp).astype(jnp.int16)
+    return synth_norm(_t(t1)[..., :m], _t(t1)[..., m:],
+                      xp=jnp).astype(jnp.int16)
+
+
 def _scatter_add(flat, idx, delta):
     """flat: (B, L) int16, idx: (B, K) int32 (0-padded), delta: (B, K)
     int16 (0-padded).  np.add.at semantics (duplicates accumulate)."""
@@ -50,25 +72,23 @@ def _scatter_add(flat, idx, delta):
     return flat.at[bidx, idx].add(delta)
 
 
-@jax.jit
-def y_stage1_device(jpeg, idx, delta):
+@functools.partial(jax.jit, static_argnames=("fused",))
+def y_stage1_device(jpeg, idx, delta, fused: bool = False):
     """(B,512,512) int16 coefficient plane + padded transform-domain
     scatter -> (B,256,256) int16 LL1 proc block (decode_y_back through
     the residue add-back; the scatter rows beyond 255 land outside the
     block and are never read, exactly like the host's 512-stride
     slack)."""
     b = jpeg.shape[0]
-    blk = jpeg[:, :D, :D]
-    t1 = synth_unnorm(blk[..., :128], blk[..., 128:], xp=jnp).astype(jnp.int16)
-    ll1 = synth_norm(_t(t1)[..., :128], _t(t1)[..., 128:], xp=jnp)
-    proc = jnp.zeros((b, N, N), jnp.int16).at[:, :D, :D].set(
-        ll1.astype(jnp.int16))
+    ll1 = _synth_level(jpeg[:, :D, :D], fused)
+    proc = jnp.zeros((b, N, N), jnp.int16).at[:, :D, :D].set(ll1)
     flat = _scatter_add(proc.reshape(b, -1), idx, delta)
     return flat.reshape(b, N, N)[:, :D, :D]
 
 
-@jax.jit
-def y_stage2_device(jpeg, proc_ll1, hq_idx, hq_delta, marks, marks_valid):
+@functools.partial(jax.jit, static_argnames=("fused",))
+def y_stage2_device(jpeg, proc_ll1, hq_idx, hq_delta, marks, marks_valid,
+                    fused: bool = False):
     """Post-dering continuation: transpose LL1 back into the coefficient
     plane, level-1 row synthesis, HQ residue scatter, transpose, mark
     smoothing scan, final row synthesis, clip -> (B,512,512) uint8.
@@ -121,17 +141,14 @@ def _uv_sentinel_deltas(vals):
     return d0, d1, clear
 
 
-@jax.jit
-def uv_synth_device(jpeg):
+@functools.partial(jax.jit, static_argnames=("fused",))
+def uv_synth_device(jpeg, fused: bool = False):
     """(B,256,256) int16 chroma coefficient plane -> (B,256,256) int16
     pre-sharpen plane (decode_uv_synth replica; the residue sentinels
     are independent scatter-adds, applied as masked slice adds)."""
     b = jpeg.shape[0]
-    blk = jpeg[:, :128, :128]
-    t1 = synth_unnorm(blk[..., :64], blk[..., 64:], xp=jnp).astype(jnp.int16)
-    ll1 = synth_norm(_t(t1)[..., :64], _t(t1)[..., 64:], xp=jnp)
-    proc = jnp.zeros((b, D, D), jnp.int16).at[:, :128, :128].set(
-        ll1.astype(jnp.int16))
+    ll1 = _synth_level(jpeg[:, :128, :128], fused)
+    proc = jnp.zeros((b, D, D), jnp.int16).at[:, :128, :128].set(ll1)
 
     # sentinels in the upper-right band: scan=(r,128+c), tgt=(r,c)
     d0, d1, clear = _uv_sentinel_deltas(jpeg[:, :128, 128:])
@@ -149,9 +166,7 @@ def uv_synth_device(jpeg):
             jnp.where(clear, jnp.int16(0), jpeg[:, 128:, sl]))
 
     jp = jpeg.at[:, :128, :128].set(_t(proc[:, :128, :128]))
-    t2 = synth_unnorm(jp[..., :128], jp[..., 128:], xp=jnp).astype(jnp.int16)
-    out = synth_norm(_t(t2)[..., :128], _t(t2)[..., 128:], xp=jnp)
-    return out.astype(jnp.int16)
+    return _synth_level(jp, fused)
 
 
 # ---------------------------------------------------------------------------
@@ -190,13 +205,15 @@ def pad_marks(marks_list) -> tuple[np.ndarray, np.ndarray]:
     return recs, valid
 
 
-def decode_batch_device(datas) -> list[np.ndarray]:
+def decode_batch_device(datas, fused=None) -> list[np.ndarray]:
     """Batched bit-exact decode with the synthesis back end on device:
     .nhw byte strings -> (512,512,3) uint8 RGB arrays, byte-identical to
     models.decoder.decode (tests/test_device_decode.py)."""
     from nhwcodec_tpu.models import decoder as dec
     from nhwcodec_tpu.ops import dc_plane, entropy
     from nhwcodec_tpu.utils.container import parse_nhw
+
+    fused = _resolve_fused(fused)
 
     b = len(datas)
     ys, scats, hqs = [], [], []
@@ -220,7 +237,7 @@ def decode_batch_device(datas) -> list[np.ndarray]:
 
     jpeg_dev = jax.device_put(np.stack(ys))
     idx, dl = pad_scatter(scats)
-    proc_ll1 = np.asarray(y_stage1_device(jpeg_dev, idx, dl))
+    proc_ll1 = np.asarray(y_stage1_device(jpeg_dev, idx, dl, fused=fused))
 
     # host dering (sequential; mutates the LL1 block exactly like the
     # reference's in-place pass)
@@ -235,10 +252,13 @@ def decode_batch_device(datas) -> list[np.ndarray]:
     hq_idx, hq_dl = pad_scatter(hqs)
     recs, valid = pad_marks(marks_list)
     y_planes = np.asarray(y_stage2_device(
-        jpeg_dev, jax.device_put(post), hq_idx, hq_dl, recs, valid))
+        jpeg_dev, jax.device_put(post), hq_idx, hq_dl, recs, valid,
+        fused=fused))
 
-    pre_u = np.asarray(uv_synth_device(jax.device_put(np.stack(us))))
-    pre_v = np.asarray(uv_synth_device(jax.device_put(np.stack(vs))))
+    pre_u = np.asarray(uv_synth_device(jax.device_put(np.stack(us)),
+                                       fused=fused))
+    pre_v = np.asarray(uv_synth_device(jax.device_put(np.stack(vs)),
+                                       fused=fused))
 
     out = []
     for i in range(b):
