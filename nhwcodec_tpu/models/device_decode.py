@@ -260,9 +260,31 @@ def decode_batch_device(datas, fused=None) -> list[np.ndarray]:
     pre_v = np.asarray(uv_synth_device(jax.device_put(np.stack(vs)),
                                        fused=fused))
 
-    out = []
+    # host: UV sharpen (sequential) + clip + upsample, then the exact
+    # device colorspace per quality group (decoder/nhw_decoder_cli.c
+    # float semantics as a fixed-point replay, ops.colorspace_device)
+    from nhwcodec_tpu.ops import colorspace_device as csd
+
+    u_planes = np.empty((b, N, N), np.uint8)
+    v_planes = np.empty((b, N, N), np.uint8)
     for i in range(b):
-        u = dec.decode_uv_back(pre_u[i].reshape(-1).copy(), quals[i])
-        v = dec.decode_uv_back(pre_v[i].reshape(-1).copy(), quals[i])
-        out.append(dec.yuv_to_rgb(y_planes[i], u, v, quals[i]))
+        u_planes[i] = dec.decode_uv_back(pre_u[i].reshape(-1).copy(),
+                                         quals[i])
+        v_planes[i] = dec.decode_uv_back(pre_v[i].reshape(-1).copy(),
+                                         quals[i])
+
+    out: list = [None] * b
+    order = sorted(range(b), key=lambda i: quals[i])
+    k = 0
+    while k < b:
+        j = k
+        while j < b and quals[order[j]] == quals[order[k]]:
+            j += 1
+        sel = order[k:j]
+        rgb = np.asarray(csd.yuv_to_rgb_device_exact(
+            y_planes[sel], u_planes[sel], v_planes[sel],
+            quals[sel[0]]))
+        for n, i in enumerate(sel):
+            out[i] = rgb[n]
+        k = j
     return out

@@ -311,3 +311,173 @@ def rgb_to_yuv420_device_exact(rgb, quality: int):
     qtz = jnp.int32(QTZ.get(quality, 0))
     with jax.enable_x64(True):
         return _jitted(program_key(quality))(rgb, qtz)
+
+
+# ---------------------------------------------------------------------------
+# decode direction: YUV -> RGB (decoder/nhw_decoder_cli.c:133-283)
+#
+# Same fixed-point-replay discipline as the encode side, at scale 2^54:
+# every double in the float chains (y, the rounded products 1.402*vf
+# etc., their left-to-right partial sums, +0.5) is a multiple of 2^-52
+# with magnitude < 512, so the whole chain replays in signed int64 at
+# scale 2^54 with a sign-symmetric RNE-to-53-bits after each operation.
+# The gain multiply (q=LOW3) is an exact two-limb 77-bit product with a
+# sticky-RNE53 whose rounding position is clamped at 2^-54 — coarser
+# than fl64 only for |product| < 0.25, where the subsequent +0.5-and-
+# trunc consumes the difference.  The q<=LOW4 integer path is float32
+# end to end and replays at scale 2^23 with RNE-to-24-bits steps.
+
+_MD_1402 = int(np.float64(1.402) * (1 << 54))
+_MD_34414 = int(np.float64(0.34414) * (1 << 54))
+_MD_71414 = int(np.float64(0.71414) * (1 << 54))
+_MD_1772 = int(np.float64(1.772) * (1 << 54))
+_HALF54 = 1 << 53
+_HALF32_23 = int(np.float64(np.float32(128.5)) * (1 << 23))
+
+
+def yinv_m23(quality: int) -> int:
+    """Y_inv gain (a float32 constant) at scale 2^23 — exact for every
+    table entry (f32 ulp >= 2^-23 at these magnitudes)."""
+    m = float(np.float64(np.float32(T.Y_INV[quality])) * (1 << 23))
+    assert m.is_integer()
+    return int(m)
+
+
+def _trunc_scaled(v, shift: int, xp):
+    """C (int) cast: truncate a signed scaled integer toward zero."""
+    return xp.where(v >= 0, v >> shift, -((-v) >> shift))
+
+
+def _gain_mul_dec54(x, m23, xp):
+    """fl64(yinv * t) for t = x * 2^-54 (signed 53-bit-mantissa double)
+    and yinv = m23 * 2^-23 (f32-promoted double in (1, 2.1)): exact
+    two-limb product, sticky-RNE to 53 bits at scale 2^-54 (rounding
+    clamped at 2^-54; |yinv * t| < 512 keeps every limb in u64)."""
+    one = xp.uint64(1)
+    mask24 = xp.uint64((1 << 24) - 1)
+    m = xp.asarray(m23).astype(xp.uint64)
+    ax = xp.abs(x).astype(xp.uint64)
+    a = ax >> xp.uint64(24)
+    c = ax & mask24
+    cm = c * m
+    p_hi = a * m + (cm >> xp.uint64(24))       # value = p_hi*2^24 + p_lo
+    p_lo = cm & mask24                         # at scale 2^77
+    hi2 = (p_hi << one) | (p_lo >> xp.uint64(23))   # doubled: scale 2^78
+    lo2 = (p_lo << one) & mask24
+    L = _bitlen_u64(hi2, xp) + 24
+    shift = xp.maximum(L - 53, xp.int64(24))
+    s2 = (shift - 24).astype(xp.uint64)
+    keep = hi2 >> s2
+    rem2 = hi2 & ((one << s2) - one)
+    half2 = (one << s2) >> one
+    sticky = lo2 != 0
+    up = xp.where(
+        s2 > 0,
+        (rem2 > half2) | ((rem2 == half2)
+                          & (sticky | ((keep & one) == one))),
+        (lo2 > xp.uint64(1 << 23)) | ((lo2 == xp.uint64(1 << 23))
+                                      & ((keep & one) == one)))
+    mag = ((keep + up.astype(xp.uint64)) << s2).astype(xp.int64)
+    return xp.where(x < 0, -mag, mag)
+
+
+def _dec_inner54(y54, uf, vf, xp):
+    """The three pre-+0.5 double chains at scale 2^54 (left-to-right
+    rounding): r' = y + 1.402*vf, g' = y - 0.34414*uf - 0.71414*vf,
+    b' = y + 1.772*uf."""
+    tr = _rne_i64(xp.int64(_MD_1402) * vf, 53, xp)
+    ir = _rne_i64(y54 + tr, 53, xp)
+    ta = _rne_i64(xp.int64(_MD_34414) * uf, 53, xp)
+    tb = _rne_i64(xp.int64(_MD_71414) * vf, 53, xp)
+    ig = _rne_i64(_rne_i64(y54 - ta, 53, xp) - tb, 53, xp)
+    tc = _rne_i64(xp.int64(_MD_1772) * uf, 53, xp)
+    ib = _rne_i64(y54 + tc, 53, xp)
+    return ir, ig, ib
+
+
+def _half_trunc54(t, xp):
+    """trunc(fl64(t + 0.5)) at scale 2^54."""
+    return _trunc_scaled(_rne_i64(t + xp.int64(_HALF54), 53, xp), 54, xp)
+
+
+def _yuv_to_rgb_mode(y, u, v, m23, mode: int, xp):
+    """One decode colorspace program.  mode 0: plain float (q>=NORM);
+    1: LOW3 (gain inside the +0.5); 2: LOW1/LOW2 (float32 Y prescale);
+    3: q<=LOW4 integer matrix + float32 gain.  m23: traced yinv scale-
+    2^23 scalar (modes 1-3)."""
+    y64 = y.astype(xp.int64)
+    uf = u.astype(xp.int64) - 128
+    vf = v.astype(xp.int64) - 128
+
+    if mode == 3:
+        yi = y64 * 298
+        ui = u.astype(xp.int64)
+        vi = v.astype(xp.int64)
+
+        def chan(acc):
+            p = _rne_i64(acc * m23, 24, xp)
+            s = _rne_i64(p + xp.int64(_HALF32_23), 24, xp)
+            return _trunc_scaled(s, 23, xp) >> 8
+
+        r = chan(yi + 409 * vi + T.R_COMP)
+        g = chan(yi - 100 * ui - 208 * vi + T.G_COMP)
+        b = chan(yi + 516 * ui + T.B_COMP)
+    else:
+        if mode == 2:
+            # yq = double(float32(y * yinv)): exact at 2^23, then 2^54
+            y54 = _rne_i64(y64 * m23, 24, xp) << xp.int64(31)
+        else:
+            y54 = y64 << xp.int64(54)
+        ir, ig, ib = _dec_inner54(y54, uf, vf, xp)
+        if mode == 1:
+            ir = _gain_mul_dec54(ir, m23, xp)
+            ig = _gain_mul_dec54(ig, m23, xp)
+            ib = _gain_mul_dec54(ib, m23, xp)
+        r = _half_trunc54(ir, xp)
+        g = _half_trunc54(ig, xp)
+        b = _half_trunc54(ib, xp)
+
+    rgb = xp.stack([r, g, b], axis=-1)
+    return _clip_u8(rgb, xp).astype(xp.uint8)
+
+
+def dec_mode(quality: int) -> int:
+    if quality >= T.NORM:
+        return 0
+    if quality == T.LOW3:
+        return 1
+    if quality in (T.LOW1, T.LOW2):
+        return 2
+    return 3
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_dec(mode: int):
+    import jax
+    import jax.numpy as jnp
+
+    def run(y, u, v, m23):
+        with jax.named_scope("nhw.yuv_to_rgb"):
+            return _yuv_to_rgb_mode(y, u, v, m23, mode, jnp)
+
+    return jax.jit(run)
+
+
+def yuv_to_rgb_host_exact(y, u, v, quality: int) -> np.ndarray:
+    """Numpy replay of the device decode colorspace (same code, xp=np)."""
+    m23 = np.int64(yinv_m23(quality) if quality < T.NORM else 0)
+    return _yuv_to_rgb_mode(np.asarray(y, np.uint8), np.asarray(u, np.uint8),
+                            np.asarray(v, np.uint8), m23,
+                            dec_mode(quality), np)
+
+
+def yuv_to_rgb_device_exact(y, u, v, quality: int):
+    """Bit-exact batched device YUV->RGB: (..., 512, 512) uint8 planes ->
+    (..., 512, 512, 3) uint8, equal to models.decoder.yuv_to_rgb
+    (decoder/nhw_decoder_cli.c:133-283) for every input and quality."""
+    import jax
+    import jax.numpy as jnp
+
+    m23 = jnp.int64(yinv_m23(quality) if quality < T.NORM else 0)
+    with jax.enable_x64(True):
+        return _jitted_dec(dec_mode(quality))(y, u, v, m23)

@@ -53,3 +53,39 @@ def test_device_pipeline_equality(q):
         assert np.array_equal(np.asarray(y1[i]), y0)
         assert np.array_equal(np.asarray(u1[i]), u0)
         assert np.array_equal(np.asarray(v1[i]), v0)
+
+
+# ---------------------------------------------------------------------------
+# decode direction (YUV -> RGB): fixed-point replay vs the deployed host
+# path (golden-BMP-verified native C).  The full 2^24-per-quality proof
+# lives in tools/yuv_rgb_exhaustive.py (run: 0 mismatches, all 23 q).
+
+
+def _sample_planes(rng):
+    c = np.arange(256, dtype=np.uint8)
+    yy, uu = np.meshgrid(c[::2], c[::2], indexing="ij")
+    y = np.tile(yy, (4, 4))
+    u = np.tile(uu, (4, 4))
+    v = rng.integers(0, 256, y.shape, dtype=np.uint8)
+    return y, u, v
+
+
+@pytest.mark.parametrize("q", [23, 20, 19, 18, 17, 16, 9, 1])
+def test_yuv_to_rgb_replay_matches_host(q):
+    from nhwcodec_tpu.models.decoder import yuv_to_rgb
+
+    y, u, v = _sample_planes(np.random.default_rng(q))
+    want = yuv_to_rgb(y, u, v, q)
+    got = csd.yuv_to_rgb_host_exact(y, u, v, q)
+    np.testing.assert_array_equal(want, got)
+
+
+@pytest.mark.parametrize("q", [20, 17, 18, 9])
+def test_yuv_to_rgb_device_matches_host(q):
+    from nhwcodec_tpu.models.decoder import yuv_to_rgb
+
+    y, u, v = _sample_planes(np.random.default_rng(100 + q))
+    want = yuv_to_rgb(y, u, v, q)
+    got = np.asarray(csd.yuv_to_rgb_device_exact(
+        y[None], u[None], v[None], q))[0]
+    np.testing.assert_array_equal(want, got)
