@@ -147,6 +147,20 @@ def _device_numbers(b: int = 64) -> dict:
     out["device_exact_decode_back_mp_s"] = mp / _per_iter(
         _chain(dec_exact_scalar), yc, 2, 18)
 
+    # the encoder's requant feedback tail (models.device_requant):
+    # synthesis + unmark + compare-ladder fixpoint + re-analysis
+    from nhwcodec_tpu.models import device_requant as drq
+
+    def requant_scalar(inp):
+        proc = (inp >> 1).astype(jnp.int16)
+        r = (inp[:, :256, :256] >> 3).astype(jnp.int16)
+        j2, p2, rc = drq.requant_tail_device(inp, proc, r, fused=fused)
+        return (j2.astype(jnp.int32).sum() + p2.astype(jnp.int32).sum()
+                + rc.astype(jnp.int32).sum())
+
+    out["device_requant_tail_mp_s"] = mp / _per_iter(
+        _chain(requant_scalar), yc, 2, 14)
+
     # the prefix-sum bit packer (tokens -> u32 words), Mtokens/s
     from nhwcodec_tpu.ops.entropy_device import (_tokens_to_codes_zone,
                                                  pack_bits_device)
