@@ -138,7 +138,8 @@ def _tree1_tail(yplane: np.ndarray, quality: int, offset: int):
 
 
 def encode_y(yplane: np.ndarray, quality: int, ratio: int = 8,
-             y_original: np.ndarray | None = None, pre=None):
+             y_original: np.ndarray | None = None, pre=None,
+             requant_done: bool = False):
     """Y pipeline: (512,512) int16 pre-processed luma -> quantized
     serpentine stream + all Y side sections.  Returns (im_nhw, sections).
     ``y_original``: the un-prefiltered luma (the reference's heap-tail
@@ -146,6 +147,9 @@ def encode_y(yplane: np.ndarray, quality: int, ratio: int = 8,
     ``pre``: optional device-computed transform state (jpeg, process,
     res256, snap) from models.device_stages.analysis_y — bit-identical
     to the host analysis below; the host scans continue from it.
+    ``requant_done``: the caller already ran the requant feedback block
+    (host mark + offset part=1, then models.device_requant's fused tail)
+    and ``pre`` holds the post-block state.
     """
     q = quality
     if y_original is None:
@@ -169,7 +173,7 @@ def encode_y(yplane: np.ndarray, quality: int, ratio: int = 8,
         res256 = jpeg[:D, :D].copy()
         analysis.wavelet_analysis(jpeg, process, D, 1, 0)
 
-    if q > T.LOW14:
+    if q > T.LOW14 and not requant_done:
         requant.mark_res256(process, res256)
         requant.offset_y_recons256(jpeg, process, q, ratio, part=1)
         analysis.wavelet_synthesis(jpeg, process, D, 0)
@@ -867,7 +871,8 @@ def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
                        u8v: np.ndarray, quality: int,
                        y_original: np.ndarray | None = None,
                        pre_y=None, pre_u=None, pre_v=None,
-                       device_pack: bool = False) -> bytes:
+                       device_pack: bool = False,
+                       requant_done: bool = False) -> bytes:
     """Full encode given the (possibly pre-processed) Y plane and the
     downsampled chroma planes — everything after colorspace/pre-filter
     (encoder/nhw_encoder.c:121-2878 + write_compressed_file).
@@ -880,7 +885,8 @@ def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
     ratio = 8
     if y_original is None:
         y_original = yplane
-    im_nhw, sec = encode_y(yplane, q, ratio, y_original, pre=pre_y)
+    im_nhw, sec = encode_y(yplane, q, ratio, y_original, pre=pre_y,
+                           requant_done=requant_done)
 
     # what the reference's compare ladder reads one short past its
     # res256 chunk: the chunk slack aliases the U plane's bytes at flat

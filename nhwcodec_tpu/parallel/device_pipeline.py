@@ -5,7 +5,10 @@ Per chunk of the batch, the stages are:
   D1  device: exact colorspace (ops.colorspace_device)      [chip]
   H1  host:   Y pre-filter raster automaton (q < HIGH2)     [C scans]
   D2  device: both analysis levels (models.device_stages)   [chip]
-  H2  host:   requant/residue/quantize/entropy/container    [C scans]
+  H1b host:   requant mark + offset(part=1) greedy automata [C scans]
+  D3  device: requant feedback tail — synthesis + unmark +
+      compare-ladder fixpoint + re-analysis (device_requant) [chip]
+  H2  host:   residue/quantize/entropy/container scans      [C scans]
 
 Chunks run on a thread pool: while one chunk's host scans run (the cffi
 C calls release the GIL), other chunks' device launches and host scans
@@ -30,10 +33,10 @@ from nhwcodec_tpu.parallel.api import BatchMetrics
 
 def _encode_chunk_device(images: np.ndarray, quality: int,
                          out: list, idxs: list[int]) -> int:
-    """Run one chunk through D1/H1/D2/H2; returns failure count."""
-    from nhwcodec_tpu.models import device_stages as ds
+    """Run one chunk through D1/H1/D2/D3/H2; returns failure count."""
+    from nhwcodec_tpu.models import device_requant, device_stages as ds
     from nhwcodec_tpu.models.encoder import encode_from_planes
-    from nhwcodec_tpu.ops import prefilter
+    from nhwcodec_tpu.ops import prefilter, requant
 
     failures = 0
     try:
@@ -51,6 +54,24 @@ def _encode_chunk_device(images: np.ndarray, quality: int,
                 y1s = origs
             pre_y, pre_u, pre_v = ds.analysis_front_device(
                 np.stack(y1s), u, v, quality)
+
+        # D3: the requant feedback tail on device (host runs the greedy
+        # mark + offset(part=1) automata in between — encode_y then
+        # skips its host requant block via requant_done)
+        requant_done = quality > T.LOW14
+        if requant_done:
+            jpegs = np.array(pre_y[0], np.int16)
+            procs = np.array(pre_y[1], np.int16)
+            r256s = np.array(pre_y[2], np.int16)
+            for k in range(len(idxs)):
+                requant.mark_res256(procs[k], r256s[k])
+                requant.offset_y_recons256(jpegs[k], procs[k], quality,
+                                           8, part=1)
+            dj, dp, drc = device_requant.requant_tail_device(
+                jpegs, procs, r256s,
+                fused=ds._resolve_fused(None))
+            pre_y = (np.asarray(dj), np.asarray(dp), np.asarray(drc),
+                     pre_y[3] if quality > T.HIGH1 else None)
     except Exception:  # noqa: BLE001 — whole-chunk device failure
         return len(idxs)
 
@@ -65,7 +86,8 @@ def _encode_chunk_device(images: np.ndarray, quality: int,
                 y_original=origs[k],
                 pre_y=py,
                 pre_u=tuple(a[k] for a in pre_u),
-                pre_v=tuple(a[k] for a in pre_v))
+                pre_v=tuple(a[k] for a in pre_v),
+                requant_done=requant_done)
         except Exception:  # noqa: BLE001 — per-image failure isolation
             failures += 1
     return failures
