@@ -395,21 +395,17 @@ def decode_y_front(s: NHWStreams, res_comp: np.ndarray):
     plane = jpeg.reshape(N, N)
     plane[:128, :128] = res_comp[: SZ >> 2].reshape(128, 128).astype(np.int16)
 
-    # res4 parity re-add (decoder/nhw_decoder.c:618-645)
-    if q > T.LOW3:
-        count = 0
-        for b in s.res4.tolist():
-            if b == 128:
-                count += 1
-                continue
-            if b > 128:
-                e = (count << 9) + b - 129
-                count += 1
-            else:
-                e = (count << 9) + b - 1
-            for kk in range(4):
-                if not (jpeg[e + kk] & 1):
-                    jpeg[e + kk] += 1
+    # res4 parity re-add (decoder/nhw_decoder.c:618-645): 128 and >128
+    # entries advance the row counter (>128 after use); each entry makes
+    # 4 consecutive values odd — idempotent, so the scatter vectorizes
+    if q > T.LOW3 and len(s.res4):
+        b4 = s.res4.astype(np.int64)
+        bump = b4 >= 128
+        cnt = np.cumsum(bump) - bump           # exclusive: count at use
+        sel = b4 != 128
+        e4 = (cnt[sel] << 9) + b4[sel] - np.where(b4[sel] > 128, 129, 1)
+        idx = (e4[:, None] + np.arange(4)).reshape(-1)
+        jpeg[idx] |= 1
 
     # exw_Y escapes, Y section (decoder/nhw_decoder.c:647-658)
     exw = np.concatenate([s.exw_Y.astype(np.int64), np.zeros(4, np.int64)])

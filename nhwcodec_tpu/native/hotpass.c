@@ -962,6 +962,15 @@ void nhw_merge_crossing(uint8_t *s)
  * tables are fixed by the format (decoder/tables.h:46-189); the build
  * runs once per process, keyed only on first use. */
 static uint32_t y_peek_lut[2][65536];
+/* combined single+pair entry for the Y decode loop (one load per
+ * window): bits 0-9 sym1, 10-14 len1, 15-24 sym2, 25-29 len1+len2
+ * (0 = no second code resolves inside the window; whole entry 0 = the
+ * first code needs the bit-serial path).  The second lookup during the
+ * build is valid because its resolution consumed <= the remaining
+ * window bits.  Whether the pair may actually bypass the state machine
+ * depends on the per-image vals[] mapping (runs / mem2-setters) — two
+ * L1 loads at decode time. */
+static uint32_t y_combo_lut[2][65536];
 static int y_peek_built = 0;
 static pthread_mutex_t y_peek_mu = PTHREAD_MUTEX_INITIALIZER;
 
@@ -1034,6 +1043,21 @@ static void nhw_build_y_peek(const int32_t *nt1, const int32_t *nt2)
             int sym, len = peek_probe((uint32_t)p, z, nt1, nt2, &sym);
             y_peek_lut[z][p] =
                 len > 0 ? (((uint32_t)len << 10) | (uint32_t)sym) : 0;
+        }
+    for (z = 0; z < 2; z++)
+        for (p = 0; p < 65536; p++) {
+            uint32_t e1 = y_peek_lut[z][p], e2, l1, l2, c;
+            y_combo_lut[z][p] = 0;
+            if (!e1) continue;
+            l1 = e1 >> 10;
+            c = (e1 & 1023) | (l1 << 10);
+            e2 = y_peek_lut[z][((uint32_t)p << l1) & 0xFFFF];
+            if (e2) {
+                l2 = e2 >> 10;
+                if (l1 + l2 <= 16)
+                    c |= ((e2 & 1023) << 15) | ((l1 + l2) << 25);
+            }
+            y_combo_lut[z][p] = c;
         }
     y_peek_built = 1;
     pthread_mutex_unlock(&y_peek_mu);
@@ -1135,6 +1159,37 @@ static long next_symbol(const uint32_t *words, long pos, int zone_on,
     return pos + size;
 }
 
+/* one plain (state-free) value symbol: the else-branch of the decode
+ * switch minus the mem2-setters 136/120 (the pair fast path below
+ * excludes those). */
+static inline void emit_plain(int word, int16_t *out, long *e,
+                              const int8_t *extra)
+{
+    switch (word) {
+    case 132: out[*e] = 11; out[*e + 4] = 11; *e += 5; return;
+    case 133: out[*e] = 11; out[*e + 4] = -11; *e += 5; return;
+    case 134: out[*e] = -11; out[*e + 4] = 11; *e += 5; return;
+    case 135: out[*e] = -11; out[*e + 4] = -11; *e += 5; return;
+    case 127: out[(*e)++] = 1008; return;
+    case 129: out[(*e)++] = 1009; return;
+    case 125: out[(*e)++] = 1006; return;
+    case 126: out[(*e)++] = 1007; return;
+    case 121: out[(*e)++] = 1010; return;
+    case 122: out[(*e)++] = 1011; return;
+    case 124: out[(*e)++] = 11; return;
+    case 123: out[(*e)++] = -11; return;
+    default:
+        if (word < ZONE1 && extra[word]) {
+            int x = extra[word];
+            out[(*e)++] = x > 0 ? WVLT_E + (x << 3) : (x << 3) - WVLT_E;
+        } else if (word > 0x80) {
+            out[(*e)++] = (int16_t)(word - 125);
+        } else {
+            out[(*e)++] = (int16_t)(word - 131);
+        }
+    }
+}
+
 int nhw_decode_y(const uint32_t *words, const int32_t *nt1,
                  const int32_t *nt2, const int32_t *vals,
                  const int32_t *rles, const uint8_t *sel1,
@@ -1152,8 +1207,41 @@ int nhw_decode_y(const uint32_t *words, const int32_t *nt1,
         int dec, word, rle;
         if (e < 0 || e > p1 + 200 || t >= n_sel1 || t2 >= n_sel2)
             return -1;
+        /* one combined-LUT load resolves the next one or two symbols;
+         * two plain symbols (no runs, no 136/120 mem2-setters) bypass
+         * the state machine entirely */
+        if (pos + 64 <= n_bits) {
+            long wi = pos >> 5;
+            uint64_t win = ((uint64_t)words[wi] << 32) | words[wi + 1];
+            uint32_t ce =
+                y_combo_lut[zone_on][(win >> (48 - (pos & 31))) & 0xFFFF];
+            if (ce) {
+                uint32_t plen = ce >> 25;
+                if (plen) {
+                    int d1 = (int)(ce & 1023), d2 = (int)((ce >> 15) & 1023);
+                    if (d1 < n_vals && d2 < n_vals) {
+                        int w1 = vals[d1], w2 = vals[d2];
+                        if (w1 != 0x80 && w1 != 136 && w1 != 120
+                            && w2 != 0x80 && w2 != 136 && w2 != 120) {
+                            pos += (long)plen;
+                            mem = 0; mem2 = 0; nhw_ac1 = 0;
+                            emit_plain(w1, out, &e, extra);
+                            if (e >= p1 - 1) break;
+                            emit_plain(w2, out, &e, extra);
+                            if (e >= p1 - 1) break;
+                            continue;
+                        }
+                    }
+                }
+                dec = (int)(ce & 1023);
+                pos += (long)((ce >> 10) & 31);
+                if (dec >= n_vals) return -1;
+                goto have_symbol;
+            }
+        }
         pos = next_symbol(words, pos, zone_on, nt1, nt2, &dec, n_bits);
         if (pos < 0 || dec < 0 || dec >= n_vals) return -1;
+have_symbol:
         word = vals[dec];
         rle = rles[dec];
 
