@@ -257,6 +257,11 @@ def _host_numbers() -> dict:
     mdev, _ = best_of(
         lambda: device_pipeline.encode_batch_device(imgs[:16], 20), n=2)
     out["full_encode_device_wired_mp_s"] = round(mdev.mp_per_s, 3)
+
+    device_pipeline.decode_batch_device(good[:8])
+    mddec, _ = best_of(
+        lambda: device_pipeline.decode_batch_device(good[:16]), n=2)
+    out["full_decode_device_wired_mp_s"] = round(mddec.mp_per_s, 3)
     return out
 
 

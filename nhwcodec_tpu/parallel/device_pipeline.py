@@ -139,3 +139,58 @@ def encode_batch_device(images: np.ndarray, quality: int = 20,
                 m.failures += f.result()
     m.wall_s = time.perf_counter() - t0
     return out, m
+
+
+def _decode_chunk_device(datas: list, out: list, idxs: list[int]) -> int:
+    from nhwcodec_tpu.models import device_decode as dd
+
+    try:
+        rgbs = dd.decode_batch_device(datas)
+        for k, i in enumerate(idxs):
+            out[i] = rgbs[k]
+        return 0
+    except Exception:  # noqa: BLE001 — fall back to per-image isolation
+        failures = 0
+        for k, i in enumerate(idxs):
+            try:
+                out[i] = dd.decode_batch_device([datas[k]])[0]
+            except Exception:  # noqa: BLE001
+                failures += 1
+        return failures
+
+
+def decode_batch_device(datas: list, workers: int | None = None,
+                        chunk: int | None = None
+                        ) -> tuple[list, BatchMetrics]:
+    """Decode a list of .nhw byte strings with the synthesis back end +
+    colorspace on device (models.device_decode) and the sequential
+    automata on a host thread pool, chunk-overlapped like the encode
+    pipeline.  Returns (RGB arrays in submission order — None for
+    failures — and metrics); byte-identical to the host decoder."""
+    import jax
+
+    jax.devices()  # thread-safe backend init (see encode_batch_device)
+    t0 = time.perf_counter()
+    b = len(datas)
+    n_workers = workers or os.cpu_count() or 1
+    if chunk is None:
+        chunk = max(1, min(16, -(-b // n_workers)))
+    out: list = [None] * b
+    m = BatchMetrics(images=b, megapixels=b * 512 * 512 / 1e6)
+
+    jobs = []
+    for lo in range(0, b, chunk):
+        idxs = list(range(lo, min(lo + chunk, b)))
+        jobs.append((list(datas[lo: lo + chunk]), idxs))
+
+    if n_workers == 1 or len(jobs) == 1:
+        for ds_, idxs in jobs:
+            m.failures += _decode_chunk_device(ds_, out, idxs)
+    else:
+        with ThreadPoolExecutor(max_workers=n_workers) as ex:
+            futs = [ex.submit(_decode_chunk_device, ds_, out, idxs)
+                    for ds_, idxs in jobs]
+            for f in futs:
+                m.failures += f.result()
+    m.wall_s = time.perf_counter() - t0
+    return out, m

@@ -34,3 +34,25 @@ def test_decode_batch_device_mixed_qualities():
     got = device_decode.decode_batch_device(datas)
     for w, g in zip(want, got):
         np.testing.assert_array_equal(w, g)
+
+
+def test_decode_batch_device_pipeline():
+    from nhwcodec_tpu.parallel import device_pipeline as dp
+
+    datas = _streams([20, 3, 22, 20, 15])
+    out, m = dp.decode_batch_device(datas, workers=2, chunk=2)
+    assert m.failures == 0 and m.images == 5
+    for d, rgb in zip(datas, out):
+        np.testing.assert_array_equal(rgb, decoder.decode(d))
+
+
+def test_decode_batch_device_pipeline_failure_isolation():
+    from nhwcodec_tpu.parallel import device_pipeline as dp
+
+    datas = _streams([20, 20])
+    bad = b"\x00\x01" + b"\x00" * 40  # structurally hopeless stream
+    out, m = dp.decode_batch_device([datas[0], bad, datas[1]], chunk=3)
+    assert m.failures == 1
+    assert out[1] is None
+    np.testing.assert_array_equal(out[0], decoder.decode(datas[0]))
+    np.testing.assert_array_equal(out[2], decoder.decode(datas[1]))
