@@ -3943,17 +3943,6 @@ void nhw_synth_norm(const int16_t *L, const int16_t *H, long rows, long M,
     }
 }
 
-static int low_raw(const int16_t *x, long n, long k)
-{
-    long M = n >> 1;
-    if (k == 0) return 6 * x[0] + 4 * x[1] - 2 * x[2];
-    if (k == M - 1)
-        return 6 * x[n - 2] + 2 * (x[n - 3] + x[n - 1])
-               - (x[n - 4] + x[n - 2]);
-    return 6 * x[2 * k] + 2 * (x[2 * k - 1] + x[2 * k + 1])
-           - (x[2 * k - 2] + x[2 * k + 2]);
-}
-
 static int round_pos(int r, int add, int shift)
 {
     return r >= 0 ? (r + add) >> shift : -((-r + add) >> shift);
