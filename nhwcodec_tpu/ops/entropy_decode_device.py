@@ -206,6 +206,16 @@ def _codeword_chain_words(words, nbits, s_max: int, zone_on: bool):
     return syms[0], count[0]
 
 
+@jax.jit
+def _run_count(syms, vals, count):
+    """Number of run symbols among the real (pre-park) chain — sizes the
+    runs-only automaton's scan length."""
+    nv = vals.shape[0]
+    word = vals[jnp.minimum(syms, nv - 1)]
+    live = jnp.arange(syms.shape[0], dtype=jnp.int32) <= count
+    return jnp.sum((word == 0x80) & live)
+
+
 # ------------------------------------------------------------------
 # phase 3, Y: the run/select automaton as a scan
 
@@ -387,8 +397,15 @@ def _book_device(vals: list, rles: list) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 def decode_y_device(packet1: np.ndarray, tree1: np.ndarray,
                     select_word1: np.ndarray, select_word2: np.ndarray,
-                    res_high: int, p1: int = 4 * T.IM_SIZE) -> np.ndarray:
-    """Device decode of the Y symbol plane; bit-exact vs entropy.decode_y."""
+                    res_high: int, p1: int = 4 * T.IM_SIZE,
+                    use_runs: bool = False) -> np.ndarray:
+    """Device decode of the Y symbol plane; bit-exact vs entropy.decode_y.
+
+    ``use_runs``: route phase 3 through the runs-only automaton
+    (_y_automaton_runs) — the 2-3x shorter serial core.  Off by default:
+    its first XLA compile of the largest (2^17-run) stream shapes is
+    pathologically slow through this sandbox's remote-compile tunnel;
+    flip it where compiles are local/cached."""
     from nhwcodec_tpu.ops import entropy
 
     vals, rles = entropy.build_y_book(tree1)
@@ -401,7 +418,11 @@ def decode_y_device(packet1: np.ndarray, tree1: np.ndarray,
                                         s_max, zone_on)
     # one tiny sync to trim the automaton scan to the real codeword
     # count (the chain parks at the last bit once the stream runs out)
-    n_real = int(count) + 1
+    # and to size the runs-only scan (any parked-tail runs beyond r_max
+    # are dropped by nonzero — they sit past the output cutoff)
+    rc = _run_count(syms, vd, count)
+    n_real, n_runs = (int(v) for v in np.asarray(jnp.stack([count, rc])))
+    n_real += 1
     s_trim = 1 << max(6, (min(n_real, s_max) - 1).bit_length())
     syms = syms[:s_trim]
 
@@ -412,24 +433,193 @@ def decode_y_device(packet1: np.ndarray, tree1: np.ndarray,
         o[:x.size] = x
         return jnp.asarray(o)
 
-    out = _y_automaton(syms, vd, rd, pad_bits(select_word1),
-                       pad_bits(select_word2), p1)
+    if use_runs:
+        r_max = 1 << max(4, (max(n_runs, 1) - 1).bit_length())
+        out = _y_automaton_runs(syms, vd, rd, pad_bits(select_word1),
+                                pad_bits(select_word2), p1, r_max)
+    else:
+        out = _y_automaton(syms, vd, rd, pad_bits(select_word1),
+                           pad_bits(select_word2), p1)
     return np.asarray(out)
+
+
+# ------------------------------------------------------------------
+# phase 3, Y, runs-only: shrink the serial core to the run symbols
+#
+# The automaton's state (mem/mem2/ac1/run_over and the last-5-outputs
+# window) changes in a data-dependent way ONLY at run symbols: every
+# literal resets mem/ac1, overwrites mem2 from a static per-word table,
+# and shifts statically-known values into the window — and since every
+# literal emission is nonzero and the reinsertion rules consult the
+# window only through ==0 tests, a literal segment's whole effect is a
+# tiny monoid (5 window bits + clipped count) computable with one
+# segmented associative scan.  The sequential scan then walks ONLY the
+# runs (33-54% of the symbols on real streams), composing each run's
+# incoming window from the carried post-run window and the segment
+# summary.  Literal output positions are a static advance prefix plus
+# the insert count carried out of the run scan.
+
+
+@functools.partial(jax.jit, static_argnames=("p1", "r_max"))
+def _y_automaton_runs(syms, vals, rles, sel1, sel2, p1: int, r_max: int):
+    val1_t, val2_t, has2_t, adv_t, mem2_t = (jnp.asarray(a)
+                                             for a in _y_word_tables())
+    nv = vals.shape[0]
+    s_len = syms.shape[0]
+    sym_c = jnp.minimum(syms, nv - 1)
+    word = vals[sym_c]
+    rle_x = rles[sym_c]
+    is_run = word == 0x80
+    wv1 = val1_t[word]
+    wv2 = val2_t[word]
+    whas2 = has2_t[word]
+    wadv = adv_t[word]
+    wmem2 = mem2_t[word]
+
+    adv_static = jnp.where(is_run, rle_x, wadv)
+    base_e = jnp.cumsum(adv_static) - adv_static   # e before symbol i
+    runs_before = jnp.cumsum(is_run.astype(jnp.int32)) - is_run
+
+    # segmented associative scan of the literal window monoid
+    lit_mask = jnp.where(wadv == 5, 17, 1)         # [1,0,0,0,1] / [1]
+    lit_cnt = jnp.where(wadv == 5, 5, 1)
+    m0 = jnp.where(is_run, 0, lit_mask).astype(jnp.int32)
+    c0 = jnp.where(is_run, 0, lit_cnt).astype(jnp.int32)
+    r0 = is_run.astype(jnp.int32)
+
+    def comb(a, b):
+        am, ac, ar = a
+        bm, bc, br = b
+        keep = br == 1
+        m = jnp.where(keep, bm,
+                      (bm | (am << jnp.minimum(bc, 5))) & 31)
+        c = jnp.where(keep, bc, jnp.minimum(ac + bc, 5))
+        return m, c, jnp.maximum(ar, br)
+
+    seg_mask_all, seg_cnt_all, _ = jax.lax.associative_scan(
+        comb, (m0, c0, r0))
+
+    # gather per-run inputs (padded rows are no-ops)
+    run_idx = jnp.nonzero(is_run, size=r_max, fill_value=s_len)[0]
+    vld = run_idx < s_len
+    ri = jnp.minimum(run_idx, s_len - 1)
+    rle_r = jnp.where(vld, rle_x[ri], 0)
+    e_base_r = jnp.where(vld, base_e[ri], jnp.int32(p1 + (1 << 20)))
+    prev = jnp.maximum(ri - 1, 0)
+    has_prev = (run_idx > 0) & vld
+    segm = jnp.where(has_prev, seg_mask_all[prev], 0)
+    segc = jnp.where(has_prev, jnp.minimum(seg_cnt_all[prev], 5), 0)
+    prev_run = has_prev & is_run[prev]
+    prev_lit_mem2 = jnp.where(has_prev & ~is_run[prev], wmem2[prev], 0)
+
+    xs = (rle_r, e_base_r, segm, segc,
+          prev_run, prev_lit_mem2, vld)
+
+    def step(carry, x):
+        ins_cnt, mem_c, mem2_c, ac1_c, run_over, win_c = carry
+        rle, e_base, sm, sc, prun, plmem2, valid = x
+        e_in = e_base + ins_cnt
+        act = valid & (e_in < p1 - 1)
+
+        mem_in = jnp.where(prun, mem_c, 0)
+        mem2_in = jnp.where(prun, mem2_c, plmem2)
+        ac1_in = jnp.where(prun, ac1_c, 0)
+        win_in = (sm | (win_c << sc)) & 31
+
+        def z(k):       # out[e-k] == 0
+            return ((win_in >> (k - 1)) & 1) == 0
+
+        mem_r = mem_in + 1
+        room = (e_in + rle - 257) >= run_over
+        ins2 = (mem2_in == 1) & (
+            ((e_in >= 5) & z(2) & z(3) & z(4) & z(5))
+            | ((rle >= 4) & (e_in >= 2) & z(2)))
+        first2 = (mem_r == 2) & (ac1_in == 0)
+        cB = ((e_in >= 4) & z(1) & z(2) & z(3) & z(4) & room) \
+            | ((rle >= 4) & (e_in > 0) & z(1) & room)
+        insB = (mem2_in != 1) & first2 & cB
+        insC = ((mem2_in != 1) & ~first2 & (rle >= 4) & (e_in > 0)
+                & z(1) & (ac1_in == 0) & room)
+        ins1 = (insB | insC) & act
+        ins2 = ins2 & act
+        ins = ins1 | ins2
+
+        e_ins = e_in + ins.astype(jnp.int32)
+        is254 = rle == 254
+        mem_new = jnp.where(is254, 0, jnp.where(ins1, 1, mem_r))
+        mem2_new = jnp.where(mem2_in == 1, 0, mem2_in)
+        ac1_new = is254.astype(jnp.int32)
+        ro_new = jnp.where(is254, e_ins, run_over)
+        win_shift = jnp.where(ins, (win_in << 1) | 1, win_in)
+        win_new = (win_shift << jnp.minimum(rle, 5)) & 31
+
+        carry_new = (
+            ins_cnt + ins.astype(jnp.int32),
+            jnp.where(act, mem_new, mem_c),
+            jnp.where(act, mem2_new, mem2_c),
+            jnp.where(act, ac1_new, ac1_c),
+            jnp.where(act, ro_new, run_over),
+            jnp.where(act, win_new, win_c),
+        )
+        return carry_new, (ins, ins1, ins2, e_in)
+
+    zi = jnp.int32(0)
+    carry0 = (zi, zi, zi, zi, jnp.int32(-257), zi)
+    # unroll=2 everywhere: the runs-only scan is already 2-3x shorter,
+    # and larger unrolls blow up the Mosaic/XLA compile of the big
+    # (2^17-step) programs over the remote tunnel
+    _, (ins_seq, ev1, ev2, pos_r) = jax.lax.scan(
+        step, carry0, xs, unroll=2)
+
+    # literal scatter: static advance prefix + carried insert counts
+    ins_excl = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32),
+         jnp.cumsum(ins_seq.astype(jnp.int32))])
+    e_sym = base_e + ins_excl[jnp.minimum(runs_before, r_max)]
+    lit = (~is_run) & (e_sym < p1 - 1)
+    big = p1 + 512
+    out = jnp.zeros(p1 + 512, jnp.int16)
+    out = out.at[jnp.where(lit, e_sym, big)].set(
+        wv1.astype(jnp.int16), mode="drop")
+    out = out.at[jnp.where(lit & (whas2 == 1), e_sym + 4, big)].set(
+        wv2.astype(jnp.int16), mode="drop")
+
+    # inserted values from the select bitstream ranks
+    r1 = jnp.cumsum(ev1.astype(jnp.int32)) - 1
+    r2 = jnp.cumsum(ev2.astype(jnp.int32)) - 1
+    sv1 = jnp.where(sel1[jnp.minimum(jnp.maximum(r1, 0),
+                                     sel1.shape[0] - 1)] == 0, 11, -11)
+    sv2 = jnp.where(sel2[jnp.minimum(jnp.maximum(r2, 0),
+                                     sel2.shape[0] - 1)] == 0, -11, 11)
+    iv = jnp.where(ev2, sv2, sv1)
+    out = out.at[jnp.where(ins_seq, pos_r, big)].set(
+        iv.astype(jnp.int16), mode="drop")
+    return out[:p1]
 
 
 @functools.partial(jax.jit, static_argnames=("p1",))
 def _y_automaton_batch(syms, vals, rles, sel1, sel2, p1: int):
-    """vmap of the Y automaton: the scan carries become (B,)-wide lane
-    vectors, so the ~15 us/step scalar-scan overhead amortizes across
-    the batch (measured 45x at B=32 on a v5e chip — the TPU-native
-    throughput path for entropy decode)."""
+    """vmap of the full-scan Y automaton: the scan carries become
+    (B,)-wide lane vectors, so the ~15 us/step scalar-scan overhead
+    amortizes across the batch (measured 45x at B=32 on a v5e chip)."""
     return jax.vmap(
         lambda s, v, r, a, b: _y_automaton.__wrapped__(s, v, r, a, b, p1)
     )(syms, vals, rles, sel1, sel2)
 
 
-def decode_y_device_batch(streams: list, p1: int = 4 * T.IM_SIZE
-                          ) -> list[np.ndarray]:
+@functools.partial(jax.jit, static_argnames=("p1", "r_max"))
+def _y_automaton_runs_batch(syms, vals, rles, sel1, sel2, p1: int,
+                            r_max: int):
+    """vmap of the runs-only automaton — the throughput path: lane
+    amortization times the 2-3x shorter serial core."""
+    return jax.vmap(
+        lambda s, v, r, a, b: _y_automaton_runs.__wrapped__(
+            s, v, r, a, b, p1, r_max)
+    )(syms, vals, rles, sel1, sel2)
+
+
+def decode_y_device_batch(streams: list, p1: int = 4 * T.IM_SIZE,
+                          use_runs: bool = False) -> list[np.ndarray]:
     """Batched device decode of Y symbol planes for parsed NHWStreams
     (same results as entropy.decode_y per stream).  The zone mode is
     per-stream (it only affects chain extraction, which is already
@@ -445,21 +635,28 @@ def decode_y_device_batch(streams: list, p1: int = 4 * T.IM_SIZE
     s_max = min(p1, max(64, max(all_nbits) // 2 + 2))
     s_max = 1 << (s_max - 1).bit_length()
 
-    sym_refs, count_refs, books, sels1, sels2 = [], [], [], [], []
+    sym_refs, count_refs, run_refs, books = [], [], [], []
+    sels1, sels2 = [], []
     for s in streams:
         words, nbits = _words_device(s.packet1)
         syms, count = _codeword_chain_words(words, nbits, s_max,
                                             s.res_high < 4)
+        book = entropy.build_y_book(s.tree1)
+        vd, _ = _book_device(book[0], book[1])
         sym_refs.append(syms)
         count_refs.append(count)
-        books.append(entropy.build_y_book(s.tree1))
+        run_refs.append(_run_count(syms, vd, count))
+        books.append(book)
         sels1.append(np.unpackbits(np.ascontiguousarray(
             s.select_word1, np.uint8)))
         sels2.append(np.unpackbits(np.ascontiguousarray(
             s.select_word2, np.uint8)))
-    counts = np.asarray(jnp.stack(count_refs))  # single sync
+    cr = np.asarray(jnp.stack([jnp.stack(count_refs),
+                               jnp.stack(run_refs)]))  # single sync
+    counts, runs = cr[0], cr[1]
     s_trim = int(min(max(64, counts.max() + 1), s_max))
     s_trim = 1 << (s_trim - 1).bit_length()
+    r_max = 1 << max(4, int(max(runs.max(), 1) - 1).bit_length())
 
     def pad_rows(rows, fill=0):
         n = 1 << max(6, (max(len(r) for r in rows) - 1).bit_length())
@@ -473,7 +670,10 @@ def decode_y_device_batch(streams: list, p1: int = 4 * T.IM_SIZE
     rB = pad_rows([b[1] for b in books])
     s1B = pad_rows(sels1)
     s2B = pad_rows(sels2)
-    out = _y_automaton_batch(symB, vB, rB, s1B, s2B, p1)
+    if use_runs:
+        out = _y_automaton_runs_batch(symB, vB, rB, s1B, s2B, p1, r_max)
+    else:
+        out = _y_automaton_batch(symB, vB, rB, s1B, s2B, p1)
     res = np.asarray(out)
     return [res[i] for i in range(len(streams))]
 

@@ -62,14 +62,27 @@ for name, img in imgs.items():
         np.testing.assert_array_equal(got_uv, want_uv,
                                       err_msg=f'{name} q{q} UV')
 
+# the runs-only automaton (the 2-3x shorter serial core) must agree too
+for name, img in imgs.items():
+    for q in (20, 8, 23, 1, 16):
+        s = container.parse_nhw(encoder.encode(img, q))
+        want_y = entropy.decode_y(s.packet1, s.tree1, s.select_word1,
+                                  s.select_word2, s.res_high)
+        got_y = edd.decode_y_device(s.packet1, s.tree1, s.select_word1,
+                                    s.select_word2, s.res_high,
+                                    use_runs=True)
+        np.testing.assert_array_equal(got_y, want_y,
+                                      err_msg=f'runs {name} q{q}')
+
 # batched (vmapped) Y automaton: mixed-content batch, one quality
 streams = [container.parse_nhw(encoder.encode(img, 20))
            for img in imgs.values()]
-outs = edd.decode_y_device_batch(streams)
-for s, got in zip(streams, outs):
-    want = entropy.decode_y(s.packet1, s.tree1, s.select_word1,
-                            s.select_word2, s.res_high)
-    np.testing.assert_array_equal(got, want)
+for runs in (False, True):
+    outs = edd.decode_y_device_batch(streams, use_runs=runs)
+    for s, got in zip(streams, outs):
+        want = entropy.decode_y(s.packet1, s.tree1, s.select_word1,
+                                s.select_word2, s.res_high)
+        np.testing.assert_array_equal(got, want)
 print("OK")
 """
 
