@@ -865,6 +865,10 @@ def _pair_promotion(pf: np.ndarray, q: int) -> None:
 
 _V_OFF_OVERRIDE: int | None = None  # diagnostics: res256 slack reseat
 _U_OFF_OVERRIDE: int | None = None
+# diagnostics: explicit V-chunk slack shorts (the third observed
+# placement — the chunk lands so its one-past read hits first-order-
+# plane content, small positive values; see VALIDATION.md)
+_V_TAIL_OVERRIDE: np.ndarray | None = None
 
 
 def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
@@ -919,7 +923,8 @@ def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
              for i in range(k)], np.int16)
 
     tail_u = _u8_pairs(u_off)
-    tail_v = _u8_pairs(v_off)
+    tail_v = (_u8_pairs(v_off) if _V_TAIL_OVERRIDE is None
+              else np.asarray(_V_TAIL_OVERRIDE, np.int16))
     oob_v = int(tail_v[0])
 
     proc_u, t1u, exw_u = encode_uv(u8u, q, 0, ratio, oob0=oob_u,

@@ -68,3 +68,23 @@ def test_remaining_residuals_bounded_and_decodable(cases, stem, q,
     assert 0 < int((a != b).sum()) <= max_ndiff
     # the stream stays self-consistent: it decodes to a full image
     assert decoder.decode(mine).shape == (512, 512, 3)
+
+
+@pytest.mark.parametrize("q", [22, 23])
+def test_first_order_plane_placement_closes_w26_cases(cases, q):
+    """Third observed placement (wave 26): at q>HIGH1 the V chunk can
+    land so its one-past read hits first-order-plane content (small
+    positive shorts; the instrumented zmalloc builds dump the read
+    region as such).  The ladder decision at the boundary depends only
+    on the slack short's rule class, so the canonical positive probe
+    closes the case byte-exactly."""
+    imgs, refs = cases
+    ref = refs[f"w26_7_q{q}"]
+    assert not equal_modulo_dead_bits(encoder.encode(imgs["w26_7"], q),
+                                      ref)
+    try:
+        encoder._V_TAIL_OVERRIDE = np.array([129, 0, 0, 0], np.int16)
+        assert equal_modulo_dead_bits(encoder.encode(imgs["w26_7"], q),
+                                      ref)
+    finally:
+        encoder._V_TAIL_OVERRIDE = None

@@ -107,14 +107,25 @@ def run_wave(seed: int, n_images: int, out_dir: pathlib.Path,
             tested += 1
             if not equal_modulo_dead_bits(encoder.encode(img, q),
                                           npath.read_bytes()):
-                # re-check under the alternate slack placement: if it
+                # re-check under the alternate slack placements: if any
                 # closes, this is the documented residual class
+                alt = False
+                ref = npath.read_bytes()
                 try:
                     encoder._V_OFF_OVERRIDE = 36864
                     alt = equal_modulo_dead_bits(encoder.encode(img, q),
-                                                 npath.read_bytes())
+                                                 ref)
+                    if not alt:
+                        encoder._V_OFF_OVERRIDE = None
+                        # third placement: the one-past read lands in
+                        # first-order-plane content (small positive)
+                        encoder._V_TAIL_OVERRIDE = np.array(
+                            [129, 0, 0, 0], np.int16)
+                        alt = equal_modulo_dead_bits(
+                            encoder.encode(img, q), ref)
                 finally:
                     encoder._V_OFF_OVERRIDE = None
+                    encoder._V_TAIL_OVERRIDE = None
                 (residual if alt else fails).append((seed, i, q))
     return tested, fails, residual
 

@@ -57,6 +57,43 @@ def main() -> None:
     print(f"sharding overhead factor (8 virtual vs 1, same cores): "
           f"{eff:.2f}x")
 
+    # decode back end + requant tail, batch-sharded (device programs
+    # only — the quality-independent synthesis/ladder stages)
+    import functools
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nhwcodec_tpu.models import device_decode as dd
+    from nhwcodec_tpu.models import device_requant as drq
+
+    coeff = rng.integers(-900, 900, size=(b, 512, 512)).astype(np.int16)
+    proc = (coeff >> 1).astype(np.int16)
+    r256 = (coeff[:, :256, :256] >> 3).astype(np.int16)
+    idx = np.zeros((b, 8), np.int32)
+    dl = np.zeros((b, 8), np.int16)
+    for n in (1, len(jax.devices())):
+        m = pmesh.make_mesh(jax.devices()[:n])
+        sh = NamedSharding(m, P("data"))
+        f1 = jax.jit(functools.partial(dd.y_stage1_device, fused=False),
+                     in_shardings=(sh, sh, sh), out_shardings=sh)
+        f2 = jax.jit(functools.partial(drq.requant_tail_device,
+                                       fused=False),
+                     in_shardings=(sh, sh, sh),
+                     out_shardings=(sh, sh, sh))
+        args1 = (jax.device_put(coeff, sh), jax.device_put(idx, sh),
+                 jax.device_put(dl, sh))
+        args2 = (jax.device_put(coeff, sh), jax.device_put(proc, sh),
+                 jax.device_put(r256, sh))
+        np.asarray(f1(*args1))
+        jax.block_until_ready(f2(*args2))
+        t0 = time.perf_counter()
+        o1 = f1(*args1)
+        o2 = f2(*args2)
+        jax.block_until_ready((o1, o2))
+        dt = time.perf_counter() - t0
+        print(f"decode-stage1 + requant-tail sharded: devices={n:2d} "
+              f"wall={dt:6.3f}s  {mp / dt:6.1f} MP/s")
+
 
 if __name__ == "__main__":
     main()
