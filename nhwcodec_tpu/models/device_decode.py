@@ -80,9 +80,11 @@ def y_stage1_device(jpeg, idx, delta, fused: bool = False):
     block and are never read, exactly like the host's 512-stride
     slack)."""
     b = jpeg.shape[0]
-    ll1 = _synth_level(jpeg[:, :D, :D], fused)
+    with jax.named_scope("nhw.decode.y_l2_synth"):
+        ll1 = _synth_level(jpeg[:, :D, :D], fused)
     proc = jnp.zeros((b, N, N), jnp.int16).at[:, :D, :D].set(ll1)
-    flat = _scatter_add(proc.reshape(b, -1), idx, delta)
+    with jax.named_scope("nhw.decode.y_residue_scatter"):
+        flat = _scatter_add(proc.reshape(b, -1), idx, delta)
     return flat.reshape(b, N, N)[:, :D, :D]
 
 
@@ -97,8 +99,11 @@ def y_stage2_device(jpeg, proc_ll1, hq_idx, hq_delta, marks, marks_valid,
     a safe in-bounds read — and marks_valid False)."""
     b = jpeg.shape[0]
     jp = jpeg.at[:, :D, :D].set(_t(proc_ll1))
-    t = synth_unnorm(jp[..., :D], jp[..., D:], xp=jnp).astype(jnp.int16)
-    flat = _scatter_add(t.reshape(b, -1), hq_idx, hq_delta)
+    with jax.named_scope("nhw.decode.y_l1_synth"):
+        t = synth_unnorm(jp[..., :D], jp[..., D:],
+                         xp=jnp).astype(jnp.int16)
+    with jax.named_scope("nhw.decode.y_hq_scatter"):
+        flat = _scatter_add(t.reshape(b, -1), hq_idx, hq_delta)
     x8 = _t(flat.reshape(b, N, N)).reshape(b, -1)
 
     def smooth_one(plane, recs, valid):
@@ -122,10 +127,12 @@ def y_stage2_device(jpeg, proc_ll1, hq_idx, hq_delta, marks, marks_valid,
         plane, _ = jax.lax.scan(body, plane, (recs, valid))
         return plane
 
-    x8 = jax.vmap(smooth_one)(x8, marks, marks_valid)
+    with jax.named_scope("nhw.decode.y_mark_smooth"):
+        x8 = jax.vmap(smooth_one)(x8, marks, marks_valid)
 
     jp = x8.reshape(b, N, N)
-    y = synth_norm(jp[..., :D], jp[..., D:], xp=jnp)
+    with jax.named_scope("nhw.decode.y_final_synth"):
+        y = synth_norm(jp[..., :D], jp[..., D:], xp=jnp)
     return jnp.clip(y, 0, 255).astype(jnp.uint8)
 
 

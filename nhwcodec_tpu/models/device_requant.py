@@ -166,14 +166,18 @@ def requant_tail_device(jpeg, process, res256, fused: bool = False):
     res256_clean) exactly matching the host sequence
     wavelet_synthesis(256,0) -> unmark_res256 -> requant_scan_ladder ->
     wavelet_analysis(256,1)."""
-    syn = _synth_level(jpeg[:, :D, :D], fused)
+    with jax.named_scope("nhw.requant.synth"):
+        syn = _synth_level(jpeg[:, :D, :D], fused)
     process = process.at[:, :D, :D].set(syn)
     jpeg = jpeg.at[:, :D, :D].set(_t(syn))
 
-    process, res_clean = _unmark(process, res256)
-    process, jpeg = _ladder(process, jpeg, res_clean)
+    with jax.named_scope("nhw.requant.unmark"):
+        process, res_clean = _unmark(process, res256)
+    with jax.named_scope("nhw.requant.ladder"):
+        process, jpeg = _ladder(process, jpeg, res_clean)
 
-    j2, p2 = _stage(jpeg[:, :D, :D], fused)
+    with jax.named_scope("nhw.requant.reanalysis"):
+        j2, p2 = _stage(jpeg[:, :D, :D], fused)
     process = process.at[:, :D, :D].set(p2)
     jpeg = jpeg.at[:, :D, :D].set(j2)
     return jpeg, process, res_clean
