@@ -453,14 +453,28 @@ def decode_y_back(jpeg: np.ndarray, scat, hq, q: int) -> np.ndarray:
     jp[:D, :D] = proc.reshape(N, N)[:D, :D].T
 
     # level-1 column synthesis + HQ residue injection (wavelet_synthesis2)
-    proc = synth_unnorm(jp[:, :D], jp[:, D:]).reshape(-1).astype(np.int16)
-    _apply_pairs(proc, *hq)
-    jpeg = proc.reshape(N, N).T.copy().reshape(-1)
-
-    # smooth marked pixels (decoder/nhw_decoder.c:850-867), x8 domain
     from nhwcodec_tpu import native
 
-    if native.available() and marks:
+    nat = native.available()
+    if nat:
+        lib = native._load()
+        ffi = native.ffi()
+        proc = np.empty(4 * SZ, np.int16)
+        lib.nhw_synth_plane_unnorm16(
+            ffi.cast("const int16_t *", jp.ctypes.data), N,
+            ffi.cast("int16_t *", proc.ctypes.data))
+        _apply_pairs(proc, *hq)
+        jpeg = np.empty(4 * SZ, np.int16)
+        lib.nhw_transpose16(
+            ffi.cast("const int16_t *", proc.ctypes.data), N,
+            ffi.cast("int16_t *", jpeg.ctypes.data))
+    else:
+        proc = synth_unnorm(jp[:, :D], jp[:, D:]).reshape(-1).astype(np.int16)
+        _apply_pairs(proc, *hq)
+        jpeg = proc.reshape(N, N).T.copy().reshape(-1)
+
+    # smooth marked pixels (decoder/nhw_decoder.c:850-867), x8 domain
+    if nat and marks:
         lib = native._load()
         ffi = native.ffi()
         mk = np.asarray(marks, np.int32)
@@ -479,6 +493,12 @@ def decode_y_back(jpeg: np.ndarray, scat, hq, q: int) -> np.ndarray:
 
     # final row synthesis (wavelet_synthesis(im, 512, ..., Y=3)) + clip
     jp = jpeg.reshape(N, N)
+    if nat:
+        out = np.empty((N, N), np.uint8)
+        lib.nhw_synth_plane_norm_clip(
+            ffi.cast("const int16_t *", np.ascontiguousarray(jp).ctypes.data),
+            N, ffi.cast("uint8_t *", out.ctypes.data))
+        return out
     y = synth_norm(jp[:, :D], jp[:, D:])
     return np.clip(y, 0, 255).astype(np.uint8)
 

@@ -92,6 +92,9 @@ void nhw_synth_unnorm(const int16_t *L, const int16_t *H, long rows, long M,
                       int32_t *out);
 void nhw_synth_norm(const int16_t *L, const int16_t *H, long rows, long M,
                     int32_t *out);
+void nhw_synth_plane_unnorm16(const int16_t *plane, long n, int16_t *out);
+void nhw_transpose16(const int16_t *src, long n, int16_t *dst);
+void nhw_synth_plane_norm_clip(const int16_t *plane, long n, uint8_t *out);
 void nhw_down_iv(const int16_t *X, long rows, long n,
                  int16_t *low, int16_t *high);
 void nhw_down_53(const int16_t *X, long rows, long n,

@@ -4672,6 +4672,62 @@ void nhw_synthesis_stage(int16_t *jpeg, int16_t *process, long W,
         t16_block(process, W, jpeg, W, norder);
 }
 
+/* Fused decode-side plane passes (models/decoder.py decode_y_back):
+ * one un-normalized row pass over a whole square plane straight to
+ * int16, a blocked transpose, and the final normalized row pass fused
+ * with the u8 clip — each saves the L/H copies, the int32 staging
+ * buffer and one full extra numpy pass. */
+void nhw_synth_plane_unnorm16(const int16_t *plane, long n, int16_t *out)
+{
+    long r, k, h = n >> 1;
+    for (r = 0; r < n; r++) {
+        const int16_t *l = plane + r * n, *hh = l + h;
+        int16_t *o = out + r * n;
+        for (k = 0; k < h; k++) {
+            int even = w16(k < h - 1 ? l[k] << 3 : l[h - 1] << 3);
+            int odd = w16(k < h - 1 ? (l[k + 1] + l[k]) << 2
+                                    : l[h - 1] << 3);
+            int sub = k == 0 ? hh[0] << 2 : (hh[k] + hh[k - 1]) << 1;
+            int add;
+            if (k == 0) add = 5 * hh[0] - hh[1];
+            else if (k == h - 1) add = 5 * hh[h - 1] - hh[h - 2];
+            else add = 6 * hh[k] - hh[k + 1] - hh[k - 1];
+            o[2 * k] = (int16_t)w16(even - sub);
+            o[2 * k + 1] = (int16_t)w16(odd + add);
+        }
+    }
+}
+
+void nhw_transpose16(const int16_t *src, long n, int16_t *dst)
+{
+    t16_block(src, n, dst, n, n);
+}
+
+void nhw_synth_plane_norm_clip(const int16_t *plane, long n, uint8_t *out)
+{
+    long r, k, h = n >> 1;
+    for (r = 0; r < n; r++) {
+        const int16_t *l = plane + r * n, *hh = l + h;
+        uint8_t *o = out + r * n;
+        for (k = 0; k < h; k++) {
+            int even = w16(k < h - 1 ? l[k] << 3 : l[h - 1] << 3);
+            int odd = w16(k < h - 1 ? (l[k + 1] + l[k]) << 2
+                                    : l[h - 1] << 3);
+            int sub = k == 0 ? hh[0] << 2 : (hh[k] + hh[k - 1]) << 1;
+            int add, e2, o2;
+            if (k == 0) add = 5 * hh[0] - hh[1];
+            else if (k == h - 1) add = 5 * hh[h - 1] - hh[h - 2];
+            else add = 6 * hh[k] - hh[k + 1] - hh[k - 1];
+            e2 = w16(even - sub);
+            o2 = w16(odd + add);
+            e2 = w16(e2 > 0 ? e2 + 32 : e2) >> 6;
+            o2 = w16(o2 > 0 ? o2 + 32 : o2) >> 6;
+            o[2 * k] = (uint8_t)(e2 < 0 ? 0 : e2 > 255 ? 255 : e2);
+            o[2 * k + 1] = (uint8_t)(o2 < 0 ? 0 : o2 > 255 ? 255 : o2);
+        }
+    }
+}
+
 /* Serpentine scatter (encoder/nhw_encoder.c:2111-2132, 2542-2570):
  * dst[off + stride*perm[i]] = src[i] & 255 for the shared Y/UV
  * de-serpentine permutations. */
