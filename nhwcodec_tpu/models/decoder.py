@@ -649,18 +649,36 @@ def decode_uv_synth(jpeg: np.ndarray) -> np.ndarray:
     models.device_decode.uv_synth_device): level-2 synthesis, residue
     sentinels, full synthesis to 256x256.  Mutates ``jpeg``; returns the
     pre-sharpen (256*256,) int16 plane."""
-    # level-2 synthesis (wavelet_synthesis(im, 128, 0, 0))
+    from nhwcodec_tpu import native
+
     jp = jpeg.reshape(D, D)
-    t1 = synth_unnorm(jp[:128, :64], jp[:128, 64:128]).astype(np.int16)
-    ll1 = synth_norm(t1.T[:, :64], t1.T[:, 64:128])
-    proc = np.zeros(SZ, dtype=np.int16)
-    proc.reshape(D, D)[:128, :128] = ll1.astype(np.int16)
+    nat = native.available() and jp.flags.c_contiguous
+    if nat:
+        lib = native._load()
+        ffi = native.ffi()
+        proc = np.zeros(SZ, dtype=np.int16)
+        # level-2 synthesis (wavelet_synthesis(im, 128, 0, 0)); the
+        # intermediate jpeg[:128,:128] mutation is overwritten below
+        lib.nhw_synthesis_stage(
+            ffi.cast("int16_t *", jp.ctypes.data),
+            ffi.cast("int16_t *", proc.ctypes.data), D, 128, 1, 2)
+    else:
+        t1 = synth_unnorm(jp[:128, :64], jp[:128, 64:128]).astype(np.int16)
+        ll1 = synth_norm(t1.T[:, :64], t1.T[:, 64:128])
+        proc = np.zeros(SZ, dtype=np.int16)
+        proc.reshape(D, D)[:128, :128] = ll1.astype(np.int16)
 
     _uv_sentinels(jpeg, proc)
 
     # transpose 128x128, then full synthesis to 256x256
     jp = jpeg.reshape(D, D)
     jp[:128, :128] = proc.reshape(D, D)[:128, :128].T
+    if nat:
+        out = np.empty((D, D), np.int16)
+        lib.nhw_synthesis_stage(
+            ffi.cast("int16_t *", jp.ctypes.data),
+            ffi.cast("int16_t *", out.ctypes.data), D, D, 1, 2)
+        return out.reshape(-1)
     t2 = synth_unnorm(jp[:, :128], jp[:, 128:]).astype(np.int16)
     out = synth_norm(t2.T[:, :128], t2.T[:, 128:])
     return out.reshape(-1).astype(np.int16)
