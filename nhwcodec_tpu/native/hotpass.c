@@ -55,8 +55,46 @@ long nhw_emit(const uint8_t *s, long p1, long p2, int select, int zone,
      * which the size_data accounting depends on). */
     uint64_t acc = ((uint64_t)words[a]) << 32;
 
+    /* plain-literal fast path: per-pixel code+length with the zone
+     * remap folded in (runs, selects and the 121-135 specials keep the
+     * general path; 256-entry setup per call is noise) */
+    uint32_t pc[256];
+    int pl[256];
+    {
+        int p;
+        for (p = 0; p < 256; p++) {
+            int pos = sym_pos[p];
+            pl[p] = 0;
+            if (p == 128 || (p > 120 && p < 136) || p == 153 || p == 155
+                || p == 157 || p == 159)
+                continue;
+            if (pos < 0 || pos >= 354)
+                continue;  /* pixel absent from the alphabet */
+            if (pos >= 110 && pos < 174 && zone) {
+                pc[p] = 64u | (uint32_t)(pos - 110); pl[p] = 15;
+            } else {
+                int q = pos;
+                if (q >= 174 && zone) q -= 64;
+                pc[p] = codes[q]; pl[p] = lens[q];
+            }
+        }
+    }
+
     while (i < p2 - 1) {
         int pixel = s[i];
+        if (pl[pixel]) {
+            pack += pl[pixel];
+            acc |= (uint64_t)pc[pixel] << (64 - pack);
+            if (pack > 32) {
+                words[a] = (uint32_t)(acc >> 32);
+                a += 1;
+                if (a >= words_cap) return -1;
+                acc <<= 32;
+                pack -= 32;
+            }
+            i += 1;
+            continue;
+        }
         if (pixel == 153) { sel1_bits[c1++] = 0; i++; continue; }
         if (pixel == 155) { sel1_bits[c1++] = 1; i++; continue; }
         if (pixel == 157) { sel2_bits[c2++] = 0; i++; continue; }
