@@ -25,6 +25,22 @@ import time
 import numpy as np
 
 
+def _device_available(timeout_s: int = 120) -> bool:
+    """Probe the accelerator in a subprocess: a dead axon tunnel makes
+    jax.devices() hang forever, which must not take the bench with it."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _enable_compile_cache() -> None:
     """Persistent XLA compile cache: the decode-automaton scan compiles
     in minutes on the first run and milliseconds afterwards."""
@@ -215,7 +231,7 @@ def _tunnel_numbers() -> dict:
             "tunnel_down_mb_s": round(down, 1)}
 
 
-def _host_numbers() -> dict:
+def _host_numbers(device_ok: bool = True) -> dict:
     from nhwcodec_tpu.parallel import api, device_pipeline
     from nhwcodec_tpu.utils import fixtures
 
@@ -253,6 +269,8 @@ def _host_numbers() -> dict:
 
     # device-wired full codec (byte-identical output, transform on chip;
     # tunnel-bound in this sandbox — see PERFORMANCE.md)
+    if not device_ok:
+        return out
     device_pipeline.encode_batch_device(imgs[:8], 20)
     mdev, _ = best_of(
         lambda: device_pipeline.encode_batch_device(imgs[:16], 20), n=2)
@@ -267,11 +285,25 @@ def _host_numbers() -> dict:
 
 def main() -> None:
     _enable_compile_cache()
+    device_ok = _device_available()
+    if not device_ok:
+        # the axon sitecustomize imported jax at startup with a stale
+        # env snapshot; pin this process (and children) to CPU so the
+        # host-only sections cannot touch the dead tunnel
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     # host numbers first: the device chain-bench leaves the tunnel's
     # compile/relay processes competing for the same 4 cores
-    host = _host_numbers()
-    dev = _device_numbers()
-    tun = _tunnel_numbers()
+    host = _host_numbers(device_ok)
+    if device_ok:
+        dev = _device_numbers()
+        tun = _tunnel_numbers()
+    else:
+        dev = {}
+        tun = {"device_unreachable": True}
 
     baseline = 9.1  # reference C encode MP/s at q20 (BASELINE.md)
     value = host["full_encode_mp_s"]

@@ -7,6 +7,8 @@ Multi-device sharding tests run on a virtual CPU mesh
 
 from __future__ import annotations
 
+import os
+import subprocess
 import sys
 from pathlib import Path
 
@@ -16,6 +18,36 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tools"))
+
+
+def _ensure_live_backend() -> None:
+    """A dead axon tunnel makes jax.devices() hang forever; probe it in
+    a subprocess and fall back to the CPU backend so the suite still
+    runs (the device tests are backend-portable)."""
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and "axon" not in plat:
+        return  # explicitly pinned off the tunnel (e.g. cpu) — trust it
+    if not plat and not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    try:
+        ok = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=120, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL).returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        # for child processes (pool workers, subprocess tests) ...
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        # ... and for THIS process, where the axon sitecustomize already
+        # imported jax at startup (the env snapshot is stale)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+_ensure_live_backend()
 
 import oracle  # noqa: E402
 from nhwcodec_tpu.utils import bmp, fixtures  # noqa: E402
