@@ -1084,15 +1084,26 @@ static void nhw_build_y_peek(const int32_t *nt1, const int32_t *nt2)
         }
     for (z = 0; z < 2; z++)
         for (p = 0; p < 65536; p++) {
-            uint32_t e1 = y_peek_lut[z][p], e2, l1, l2, c;
+            uint32_t e1 = y_peek_lut[z][p], e2, l1, l2, c, p2, avail;
             y_combo_lut[z][p] = 0;
             if (!e1) continue;
             l1 = e1 >> 10;
             c = (e1 & 1023) | (l1 << 10);
-            e2 = y_peek_lut[z][((uint32_t)p << l1) & 0xFFFF];
+            p2 = ((uint32_t)p << l1) & 0xFFFF;
+            e2 = y_peek_lut[z][p2];
+            avail = 16 - l1;
             if (e2) {
                 l2 = e2 >> 10;
-                if (l1 + l2 <= 16)
+                /* zone-priority ambiguity: the 15-bit zone escape
+                 * overlays the prefix code and wins when the next 9
+                 * bits are 000000001 — with fewer than 9 real bits
+                 * left, an all-zero remainder cannot rule it out, so
+                 * the (possibly very short) tree resolution may be
+                 * wrong.  A 1 anywhere in the real remainder kills the
+                 * zone prefix and the tree resolution stands. */
+                int zone_ambiguous = z && avail < 9
+                    && (p2 >> (16 - avail)) == 0;
+                if (l1 + l2 <= 16 && !zone_ambiguous)
                     c |= ((e2 & 1023) << 15) | ((l1 + l2) << 25);
             }
             y_combo_lut[z][p] = c;
@@ -1259,15 +1270,22 @@ int nhw_decode_y(const uint32_t *words, const int32_t *nt1,
                     int d1 = (int)(ce & 1023), d2 = (int)((ce >> 15) & 1023);
                     if (d1 < n_vals && d2 < n_vals) {
                         int w1 = vals[d1], w2 = vals[d2];
-                        if (w1 != 0x80 && w1 != 136 && w1 != 120
-                            && w2 != 0x80 && w2 != 136 && w2 != 120) {
-                            pos += (long)plen;
+                        if (w1 != 0x80 && w1 != 136 && w1 != 120) {
+                            /* first symbol is state-free: emit it and
+                             * consume the second from the same entry —
+                             * plain ones emit too, runs/specials feed
+                             * the state machine without a re-probe */
                             mem = 0; mem2 = 0; nhw_ac1 = 0;
                             emit_plain(w1, out, &e, extra);
                             if (e >= p1 - 1) break;
-                            emit_plain(w2, out, &e, extra);
-                            if (e >= p1 - 1) break;
-                            continue;
+                            pos += (long)plen;
+                            if (w2 != 0x80 && w2 != 136 && w2 != 120) {
+                                emit_plain(w2, out, &e, extra);
+                                if (e >= p1 - 1) break;
+                                continue;
+                            }
+                            dec = d2;
+                            goto have_symbol;
                         }
                     }
                 }
