@@ -1250,12 +1250,21 @@ int nhw_decode_y(const uint32_t *words, const int32_t *nt1,
     int mem = 0, mem2 = 0, nhw_ac1 = 0;
     long run_over = -257;
     long t = 0, t2 = 0;
+    int pend_dec = -1;      /* second symbol of a combo entry whose
+                             * first needed the state machine */
+    long pend_pos = 0;
 
     nhw_build_y_peek(nt1, nt2);
     for (;;) {
         int dec, word, rle;
         if (e < 0 || e > p1 + 200 || t >= n_sel1 || t2 >= n_sel2)
             return -1;
+        if (pend_dec >= 0) {
+            dec = pend_dec;
+            pos = pend_pos;
+            pend_dec = -1;
+            goto have_symbol;
+        }
         /* one combined-LUT load resolves the next one or two symbols;
          * two plain symbols (no runs, no 136/120 mem2-setters) bypass
          * the state machine entirely */
@@ -1290,6 +1299,13 @@ int nhw_decode_y(const uint32_t *words, const int32_t *nt1,
                     }
                 }
                 dec = (int)(ce & 1023);
+                if (ce >> 25) {
+                    int d2 = (int)((ce >> 15) & 1023);
+                    if (d2 < n_vals) {
+                        pend_dec = d2;
+                        pend_pos = pos + (long)(ce >> 25);
+                    }
+                }
                 pos += (long)((ce >> 10) & 31);
                 if (dec >= n_vals) return -1;
                 goto have_symbol;
