@@ -1377,6 +1377,26 @@ have_symbol:
     return 0;
 }
 
+/* one UV symbol's whole effect — the UV automaton is stateless
+ * (decoder/compress_pixel.c:446-641), so any two symbols resolved from
+ * one window can apply back to back */
+static inline long uv_emit(int word, long rle, int16_t *out, long e,
+                           const int8_t *extra)
+{
+    if (word == 0x80) return e + rle;
+    if (word < ZONE1) {
+        int x = extra[word];
+        if (x) out[e] = x > 0 ? WVLT_E + (x << 3) : (x << 3) - WVLT_E;
+        else out[e] = (int16_t)(word - 131);
+    } else if (word == 124) out[e] = 5005;
+    else if (word == 126) out[e] = 5006;
+    else if (word == 122) out[e] = 5003;
+    else if (word == 130) out[e] = 5004;
+    else if (word > 0x80) out[e] = (int16_t)(word - 125);
+    else out[e] = (int16_t)(word - 131);
+    return e + 1;
+}
+
 int nhw_decode_uv(const uint32_t *words, const int32_t *nt1,
                   const int32_t *nt2, const int32_t *vals,
                   const int32_t *rles, const int8_t *extra,
@@ -1385,25 +1405,35 @@ int nhw_decode_uv(const uint32_t *words, const int32_t *nt1,
     long pos = 0, e = 0;
     nhw_build_y_peek(nt1, nt2);
     for (;;) {
-        int dec, word;
+        int dec;
         if (e < 0 || e > p1 + 200) return -1;
+        if (pos + 64 <= n_bits) {
+            long wi = pos >> 5;
+            uint64_t win = ((uint64_t)words[wi] << 32) | words[wi + 1];
+            uint32_t ce =
+                y_combo_lut[0][(win >> (48 - (pos & 31))) & 0xFFFF];
+            if (ce) {
+                dec = (int)(ce & 1023);
+                if (dec >= n_vals) return -1;
+                if (ce >> 25) {
+                    int d2 = (int)((ce >> 15) & 1023);
+                    if (d2 < n_vals) {
+                        pos += (long)(ce >> 25);
+                        e = uv_emit(vals[dec], rles[dec], out, e, extra);
+                        if (e >= p1 - 1) break;
+                        e = uv_emit(vals[d2], rles[d2], out, e, extra);
+                        if (e >= p1 - 1) break;
+                        continue;
+                    }
+                }
+                pos += (long)((ce >> 10) & 31);
+                goto got;
+            }
+        }
         pos = next_symbol(words, pos, 0, nt1, nt2, &dec, n_bits);
         if (pos < 0 || dec < 0 || dec >= n_vals) return -1;
-        word = vals[dec];
-        if (word == 0x80) {
-            e += rles[dec];
-        } else if (word < ZONE1) {
-            int x = extra[word];
-            if (x) out[e] = x > 0 ? WVLT_E + (x << 3) : (x << 3) - WVLT_E;
-            else if (word > 0x80) out[e] = word - 125;
-            else out[e] = word - 131;
-            e++;
-        } else if (word == 124) { out[e] = 5005; e++; }
-        else if (word == 126) { out[e] = 5006; e++; }
-        else if (word == 122) { out[e] = 5003; e++; }
-        else if (word == 130) { out[e] = 5004; e++; }
-        else if (word > 0x80) { out[e] = word - 125; e++; }
-        else { out[e] = word - 131; e++; }
+got:
+        e = uv_emit(vals[dec], rles[dec], out, e, extra);
         if (e >= p1 - 1) break;
     }
     return 0;
