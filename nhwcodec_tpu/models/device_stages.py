@@ -235,6 +235,36 @@ def encode_front_device(rgb, quality: int, fused=None):
     return jax.tree_util.tree_map(np.asarray, out)
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_analysis_sharded(mesh, axis: str, key: int, fused: bool):
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def run(y, u, v):
+        yj, yp, yr, ys = analysis_y(y, fused)
+        uj, up, ur = analysis_uv(u, key, fused)
+        vj, vp, vr = analysis_uv(v, key, fused)
+        return (yj, yp, yr, ys), (uj, up, ur), (vj, vp, vr)
+
+    sp = P(axis)
+    return jax.jit(shard_map(
+        run, mesh=mesh, in_specs=(sp, sp, sp),
+        out_specs=((sp,) * 4, (sp,) * 3, (sp,) * 3)))
+
+
+def analysis_front_sharded(mesh, y, u, v, quality: int, axis: str = "data",
+                           fused=None):
+    """Batch-sharded exact analysis via ``shard_map``: unlike the plain
+    GSPMD jit (which cannot split an opaque pallas_call over a >1-device
+    mesh), each shard runs the full per-image program — so the fused
+    Mosaic kernels work per-chip on a real pod.  Per-image compute has
+    no cross-shard edges; no collectives are inserted.  Returns host
+    numpy trees like analysis_front_device."""
+    f = _jitted_analysis_sharded(mesh, axis, _uv_program_key(quality),
+                                 _resolve_fused(fused))
+    return jax.tree_util.tree_map(np.asarray, f(y, u, v))
+
+
 def colorspace_front_device(rgb, quality: int):
     """Device colorspace only (the q < HIGH2 path: the host Y pre-filter
     runs between colorspace and analysis)."""

@@ -102,7 +102,9 @@ def encode_batch_sharded(mesh: Mesh, images: np.ndarray, quality: int = 20,
     sh = NamedSharding(mesh, P(axis))
     rgb = jax.device_put(np.ascontiguousarray(images), sh)
     # the fused Pallas stage is an opaque custom call GSPMD cannot split
-    # over a >1-device mesh; keep the sharded path on slice algebra there
+    # over a >1-device mesh; the analysis goes through shard_map instead
+    # (per-shard programs, so Mosaic kernels work per chip), and the
+    # remaining GSPMD-jit paths fall back to slice algebra
     fused = None if mesh.size == 1 else False
 
     if quality > T.HIGH1:
@@ -120,8 +122,12 @@ def encode_batch_sharded(mesh: Mesh, images: np.ndarray, quality: int = 20,
         y1_sh = jax.device_put(np.stack(y1s), sh)
         u_sh = jax.device_put(np.ascontiguousarray(ud), sh)
         v_sh = jax.device_put(np.ascontiguousarray(vd), sh)
-        pre_y, pre_u, pre_v = ds.analysis_front_device(
-            y1_sh, u_sh, v_sh, quality, fused=fused)
+        if mesh.size > 1:
+            pre_y, pre_u, pre_v = ds.analysis_front_sharded(
+                mesh, y1_sh, u_sh, v_sh, quality, axis=axis)
+        else:
+            pre_y, pre_u, pre_v = ds.analysis_front_device(
+                y1_sh, u_sh, v_sh, quality, fused=fused)
         u, v = ud, vd
 
     mp = sharded_megapixels(mesh, jax.device_put(np.stack(y1s), sh), axis)
