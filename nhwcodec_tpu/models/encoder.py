@@ -871,17 +871,65 @@ _U_OFF_OVERRIDE: int | None = None
 _V_TAIL_OVERRIDE: np.ndarray | None = None
 
 
+class DeferredEncode:
+    """An encode with every host stage done and only the Huffman bit
+    packing pending — finish_deferred() packs a batch of these in ONE
+    device program (ops.entropy_device._pack_rows)."""
+
+    __slots__ = ("quality", "sections", "tokens")
+
+    def __init__(self, quality, sections, tokens):
+        self.quality = quality
+        self.sections = sections
+        self.tokens = tokens
+
+
+def finish_deferred(deferred: list["DeferredEncode"],
+                    group: int = 32) -> list[bytes]:
+    """Batch-pack and assemble deferred encodes; one device packing
+    launch per ``group`` images (2 rows each), containers in submission
+    order."""
+    from nhwcodec_tpu.ops import entropy_enc
+
+    out: list[bytes] = []
+    for lo in range(0, len(deferred), group):
+        ds = deferred[lo: lo + group]
+        pks = entropy_enc.pack_tokenized_batch([d.tokens for d in ds])
+        out.extend(_assemble_packet(d.quality, d.sections, pk)
+                   for d, pk in zip(ds, pks))
+    return out
+
+
+def _assemble_packet(q: int, sec: dict, pk) -> bytes:
+    from nhwcodec_tpu.utils import container
+
+    sec["tree1"] = pk.tree1
+    sec["tree2"] = pk.tree2
+    sec["tree_end"] = pk.tree_end
+    sec["size_data1"] = pk.size_data1
+    sec["size_data2"] = pk.size_data2
+    sec["select_word1"] = pk.select_word1
+    sec["select_word2"] = pk.select_word2
+    sec["nhw_select1"] = pk.nhw_select1
+    sec["nhw_select2"] = pk.nhw_select2
+    sec["encode"] = pk.encode_words
+    return container.write_nhw(q, sec["res_low"], pk.wavelet_type, sec)
+
+
 def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
                        u8v: np.ndarray, quality: int,
                        y_original: np.ndarray | None = None,
                        pre_y=None, pre_u=None, pre_v=None,
                        device_pack: bool = False,
-                       requant_done: bool = False) -> bytes:
+                       requant_done: bool = False,
+                       defer_pack: bool = False) -> bytes | DeferredEncode:
     """Full encode given the (possibly pre-processed) Y plane and the
     downsampled chroma planes — everything after colorspace/pre-filter
     (encoder/nhw_encoder.c:121-2878 + write_compressed_file).
     ``pre_y``/``pre_u``/``pre_v``: device-computed transform states
-    (models.device_stages) — the host scans consume them directly."""
+    (models.device_stages) — the host scans consume them directly.
+    ``defer_pack``: return a DeferredEncode (tokenized, bit packing
+    pending) for batched device packing via finish_deferred()."""
     from nhwcodec_tpu.ops import entropy_enc
     from nhwcodec_tpu.utils import container
 
@@ -947,21 +995,13 @@ def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
         tree_uv, tail=_tree1_tail(y_original, q, 8192))
     sec["ch_res"] = np.array(ch_res, np.uint8)
 
+    if defer_pack:
+        return DeferredEncode(q, sec,
+                              entropy_enc.wavlts2packet_tokenize(im_nhw))
     pk = entropy_enc.wavlts2packet(im_nhw, sec["nhw_select1"],
                                    sec["nhw_select2"],
                                    device_pack=device_pack)
-    sec["tree1"] = pk.tree1
-    sec["tree2"] = pk.tree2
-    sec["tree_end"] = pk.tree_end
-    sec["size_data1"] = pk.size_data1
-    sec["size_data2"] = pk.size_data2
-    sec["select_word1"] = pk.select_word1
-    sec["select_word2"] = pk.select_word2
-    sec["nhw_select1"] = pk.nhw_select1
-    sec["nhw_select2"] = pk.nhw_select2
-    sec["encode"] = pk.encode_words
-
-    return container.write_nhw(q, sec["res_low"], pk.wavelet_type, sec)
+    return _assemble_packet(q, sec, pk)
 
 
 def encode(pixels: np.ndarray, quality: int = 20) -> bytes:
@@ -976,11 +1016,13 @@ def encode(pixels: np.ndarray, quality: int = 20) -> bytes:
 
 
 def encode_device(pixels: np.ndarray, quality: int = 20,
-                  device_pack: bool = False) -> bytes:
+                  device_pack: bool = True) -> bytes:
     """Encode with the transform front end on the device: exact
     colorspace (ops.colorspace_device) and both analysis levels
     (models.device_stages) run on the chip; the raster scans and entropy
-    stage consume the device outputs.  Byte-identical to encode().
+    stage consume the device outputs, and the Huffman bit packing runs
+    as a device prefix-sum program (``device_pack=True`` default).
+    Byte-identical to encode().
 
     Single-image convenience wrapper; the batched pipelined path is
     parallel.device_pipeline.encode_batch_device."""

@@ -224,6 +224,149 @@ class _BitPacker:
         self.pack = pack
 
 
+class TokenizedPacket:
+    """Host-tokenized Huffman stream awaiting (batched) device packing.
+
+    The sequential half of wavlts2packet has run — histogram, codebook,
+    the run/select token automaton, tree/select serialization — and only
+    the bit packing (a parallel prefix over code lengths,
+    ops.entropy_device.pack_token_rows) is pending.  ``pos``/``zone``
+    hold per-part codebook positions and zone flags; empty ``pos`` means
+    ``res`` is already complete (pure-Python fallback host-packed it)."""
+
+    __slots__ = ("pos", "zone", "res")
+
+    def __init__(self):
+        self.pos: list[np.ndarray] = []
+        self.zone: list[bool] = []
+        self.res = PacketResult()
+
+
+def wavlts2packet_tokenize(im_nhw: np.ndarray) -> TokenizedPacket:
+    """Run everything in wavlts2packet except the bit packing; pair with
+    pack_tokenized_batch, which packs many images' parts in one device
+    program.  Byte-identical end result to the host packer
+    (tests/test_entropy_device.py)."""
+    from nhwcodec_tpu import native
+
+    tp = TokenizedPacket()
+    if not native.available():
+        # the pure-Python tokenizer path host-packs inline; the batch
+        # packer passes the finished result through
+        tp.res = wavlts2packet(im_nhw, 0, 0)
+        return tp
+
+    lib = native._load()
+    ffi = native.ffi()
+    res = tp.res
+    s = np.ascontiguousarray(im_nhw, np.uint8)
+    sp = ffi.cast("uint8_t *", s.ctypes.data)
+    sel1 = np.zeros(1 << 17, np.uint8)
+    sel2 = np.zeros(1 << 17, np.uint8)
+    n_sel1 = ffi.new("long *", 0)
+    n_sel2 = ffi.new("long *", 0)
+
+    color = int(s[4 * SZ])
+    s[4 * SZ] = 3
+    y_cb: list[int] | None = None
+
+    for part in (0, 1):
+        if part == 0:
+            p1, p2, select0 = 0, 4 * SZ, 4
+        else:
+            s[4 * SZ] = color
+            s[6 * SZ - 1] = s[6 * SZ - 2]
+            p1, p2, select0 = 4 * SZ, 6 * SZ, 3
+
+        rle_buf = np.zeros(256, np.int64)
+        rle_128 = np.zeros(256, np.int64)
+        lib.nhw_histogram(sp, p1, p2,
+                          ffi.cast("int64_t *", rle_buf.ctypes.data),
+                          ffi.cast("int64_t *", rle_128.ctypes.data))
+        entries, weights, select = _build_codebook(rle_buf, rle_128, select0)
+        k = len(entries)
+
+        sym_pos = np.zeros(256, np.int32)
+        run_pos = np.zeros(256, np.int32)
+        for idx, t in enumerate(entries):
+            if (t >> 8) == 1:
+                sym_pos[t & 0xFF] = idx
+            else:
+                run_pos[t >> 8] = idx
+
+        b_top = 1 if entries and entries[0] == ((1 << 8) | 128) else 0
+        if part == 0 and b_top == 0 and k > 290:
+            raise OverflowError("Y codebook >290 without top run symbol")
+        if part == 1 and select != 4 and k > 290:
+            raise OverflowError("UV codebook >290")
+        zone = 1 if (select == 4 and b_top == 1 and part == 0) else 0
+
+        tokens = np.empty(6 * SZ + 64, np.int32)
+        n_tok = lib.nhw_tokenize(
+            sp, p1, p2, select,
+            ffi.cast("uint8_t *", sel1.ctypes.data), n_sel1,
+            ffi.cast("uint8_t *", sel2.ctypes.data), n_sel2,
+            ffi.cast("int32_t *", tokens.ctypes.data), tokens.size)
+        if n_tok < 0:
+            raise OverflowError("token stream exceeds buffer")
+        t = tokens[:n_tok]
+        pos = np.empty(n_tok, np.int32)
+        mneg = t < 0
+        pos[mneg] = sym_pos[-t[mneg] - 1]
+        pos[~mneg] = run_pos[t[~mneg] - 65536]
+        tp.pos.append(pos)
+        tp.zone.append(bool(zone))
+
+        if part == 0:
+            res.wavelet_type = 4 if (select > 4 or b_top == 0) else 0
+            res.select_word1, _ = _pack_select_bits(
+                sel1[: n_sel1[0]].tolist())
+            res.nhw_select1 = len(res.select_word1)
+            res.select_word2, _ = _pack_select_bits(
+                sel2[: n_sel2[0]].tolist())
+            res.nhw_select2 = len(res.select_word2)
+            res.tree1, y_cb = _serialize_tree1(entries)
+        else:
+            res.tree2, res.tree_end = _serialize_tree2(entries, y_cb)
+    return tp
+
+
+def pack_tokenized_batch(tps: list[TokenizedPacket]) -> list[PacketResult]:
+    """Finish a batch of tokenized streams with ONE device packing
+    program: every (image, part) row packs independently (prefix-sum +
+    1-D scatter, ops.entropy_device._pack_rows), so the whole batch is a
+    single launch.  The per-part word counts and stream assembly match
+    the host packer exactly (part 1 starts at a fresh word —
+    encoder/compress_pixel.c:262-268's ``a++; pack=0``)."""
+    from nhwcodec_tpu.ops import entropy_device
+
+    rows: list[np.ndarray] = []
+    zones: list[bool] = []
+    for tp in tps:
+        for pos, z in zip(tp.pos, tp.zone):
+            rows.append(pos)
+            zones.append(z)
+    if rows:
+        words, nbits = entropy_device.pack_token_rows(rows, zones)
+        cap_bits = 32 * words.shape[1]
+        j = 0
+        for tp in tps:
+            if not tp.pos:
+                continue
+            b0, b1 = int(nbits[j]), int(nbits[j + 1])
+            nw0 = max(1, (b0 + 31) >> 5)
+            nw1 = max(1, (b1 + 31) >> 5)
+            if b0 > cap_bits or b1 > cap_bits or nw0 + nw1 > 80000:
+                raise OverflowError("packed stream exceeds word buffer")
+            res = tp.res
+            res.size_data1 = nw0
+            res.size_data2 = nw0 + nw1
+            res.encode_words = np.concatenate(
+                [words[j][:nw0], words[j + 1][:nw1]]).astype(np.uint32)
+            j += 2
+    return [tp.res for tp in tps]
+
+
 def wavlts2packet(im_nhw: np.ndarray, nhw_select1: int, nhw_select2: int,
                   device_pack: bool = False) -> PacketResult:
     """Both Huffman passes over the full 6*IM_SIZE code stream.
@@ -235,8 +378,9 @@ def wavlts2packet(im_nhw: np.ndarray, nhw_select1: int, nhw_select2: int,
     from nhwcodec_tpu import native
 
     if native.available():
-        return _wavlts2packet_native(im_nhw, native,
-                                     device_pack=device_pack)
+        if device_pack:
+            return pack_tokenized_batch([wavlts2packet_tokenize(im_nhw)])[0]
+        return _wavlts2packet_native(im_nhw, native)
     res = PacketResult()
     s = im_nhw.tolist()  # plain ints: the scan loops dominate otherwise
     packer = _BitPacker()
@@ -356,8 +500,7 @@ def wavlts2packet(im_nhw: np.ndarray, nhw_select1: int, nhw_select2: int,
     return res
 
 
-def _wavlts2packet_native(im_nhw: np.ndarray, native,
-                          device_pack: bool = False) -> PacketResult:
+def _wavlts2packet_native(im_nhw: np.ndarray, native) -> PacketResult:
     """Native-scan variant: histogram + emit run in C, codebook build and
     serialization stay in Python (identical results to the list path)."""
     lib = native._load()
@@ -417,55 +560,21 @@ def _wavlts2packet_native(im_nhw: np.ndarray, native,
         codes[:290] = T.HUFFMAN_CODES
         lens[:290] = T.HUFFMAN_LENS
 
-        if device_pack:
-            tokens = np.empty(6 * SZ + 64, np.int32)
-            n_tok = lib.nhw_tokenize(
-                sp, p1, p2, select,
-                ffi.cast("uint8_t *", sel1.ctypes.data), n_sel1,
-                ffi.cast("uint8_t *", sel2.ctypes.data), n_sel2,
-                ffi.cast("int32_t *", tokens.ctypes.data), tokens.size)
-            if n_tok < 0:
-                raise OverflowError("token stream exceeds buffer")
-            t = tokens[:n_tok]
-            pos = np.empty(n_tok, np.int32)
-            mneg = t < 0
-            pos[mneg] = sym_pos[-t[mneg] - 1]
-            pos[~mneg] = run_pos[t[~mneg] - 65536]
-            if n_tok:
-                from nhwcodec_tpu.ops import entropy_device
-
-                # pad the token count to a bucket so the device packer
-                # compiles once per bucket, not once per image
-                cap = 1 << max(10, (n_tok - 1).bit_length())
-                pos_p = np.zeros(cap, np.int32)
-                pos_p[:n_tok] = pos
-                lens_mask = np.zeros(cap, bool)
-                lens_mask[:n_tok] = True
-                part_words, nbits = entropy_device.tokens_to_words(
-                    pos_p, bool(zone), words.size, valid=lens_mask)
-                nw = max(1, (int(nbits) + 31) >> 5)
-                if a + nw > words.size:
-                    raise OverflowError("packed stream exceeds word buffer")
-                words[a: a + nw] = part_words[:nw]
-            else:
-                nw = 1
-            a += nw - 1
-        else:
-            a = lib.nhw_emit(sp, p1, p2, select, zone,
-                             ffi.cast("int32_t *", sym_pos.ctypes.data),
-                             ffi.cast("int32_t *", run_pos.ctypes.data),
-                             ffi.cast("uint32_t *", codes.ctypes.data),
-                             ffi.cast("int32_t *", lens.ctypes.data),
-                             wp, words.size, a, pack,
-                             ffi.cast("uint8_t *", sel1.ctypes.data), n_sel1,
-                             ffi.cast("uint8_t *", sel2.ctypes.data), n_sel2,
-                             pack_out)
-            if a < 0:
-                # mirrors the reference's overload guard
-                # (encoder/compress_pixel.c:234,270-271) but fails cleanly
-                # instead of corrupting the heap
-                raise OverflowError("packed stream exceeds word buffer")
-            pack = pack_out[0]
+        a = lib.nhw_emit(sp, p1, p2, select, zone,
+                         ffi.cast("int32_t *", sym_pos.ctypes.data),
+                         ffi.cast("int32_t *", run_pos.ctypes.data),
+                         ffi.cast("uint32_t *", codes.ctypes.data),
+                         ffi.cast("int32_t *", lens.ctypes.data),
+                         wp, words.size, a, pack,
+                         ffi.cast("uint8_t *", sel1.ctypes.data), n_sel1,
+                         ffi.cast("uint8_t *", sel2.ctypes.data), n_sel2,
+                         pack_out)
+        if a < 0:
+            # mirrors the reference's overload guard
+            # (encoder/compress_pixel.c:234,270-271) but fails cleanly
+            # instead of corrupting the heap
+            raise OverflowError("packed stream exceeds word buffer")
+        pack = pack_out[0]
 
         if part == 0:
             res.size_data1 = a + 1

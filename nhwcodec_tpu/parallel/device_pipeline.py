@@ -32,10 +32,14 @@ from nhwcodec_tpu.parallel.api import BatchMetrics
 
 
 def _encode_chunk_device(images: np.ndarray, quality: int,
-                         out: list, idxs: list[int]) -> int:
-    """Run one chunk through D1/H1/D2/D3/H2; returns failure count."""
+                         out: list, idxs: list[int],
+                         device_pack: bool = True) -> int:
+    """Run one chunk through D1/H1/D2/D3/H2; returns failure count.
+    ``device_pack``: defer each image's Huffman bit packing and run the
+    whole chunk's packs as ONE device prefix-sum program (D4)."""
     from nhwcodec_tpu.models import device_requant, device_stages as ds
-    from nhwcodec_tpu.models.encoder import encode_from_planes
+    from nhwcodec_tpu.models.encoder import (encode_from_planes,
+                                             finish_deferred)
     from nhwcodec_tpu.ops import prefilter, requant
 
     failures = 0
@@ -76,33 +80,53 @@ def _encode_chunk_device(images: np.ndarray, quality: int,
         return len(idxs)
 
     snap_on = quality > T.HIGH1
+    deferred: list[tuple[int, object]] = []
     for k, i in enumerate(idxs):
         try:
             py = (pre_y[0][k], pre_y[1][k], pre_y[2][k],
                   pre_y[3][k] if snap_on else None)
-            out[i] = encode_from_planes(
+            r = encode_from_planes(
                 y1s[k], np.ascontiguousarray(u[k]),
                 np.ascontiguousarray(v[k]), quality,
                 y_original=origs[k],
                 pre_y=py,
                 pre_u=tuple(a[k] for a in pre_u),
                 pre_v=tuple(a[k] for a in pre_v),
-                requant_done=requant_done)
+                requant_done=requant_done,
+                defer_pack=device_pack)
+            if device_pack:
+                deferred.append((i, r))
+            else:
+                out[i] = r
         except Exception:  # noqa: BLE001 — per-image failure isolation
             failures += 1
+    if deferred:
+        try:
+            streams = finish_deferred([d for _, d in deferred])
+            for (i, _), s in zip(deferred, streams):
+                out[i] = s
+        except Exception:  # noqa: BLE001 — isolate a bad pack per image
+            for i, d in deferred:
+                try:
+                    out[i] = finish_deferred([d])[0]
+                except Exception:  # noqa: BLE001
+                    failures += 1
     return failures
 
 
 def encode_batch_device(images: np.ndarray, quality: int = 20,
                         workers: int | None = None,
                         chunk: int | None = None,
-                        trace_dir: str | None = None
+                        trace_dir: str | None = None,
+                        device_pack: bool = True
                         ) -> tuple[list[bytes | None], BatchMetrics]:
     """Encode a (B, 512, 512, 3) uint8 batch with device transforms.
 
     Returns (bitstreams in submission order — None for failures — and
     metrics).  ``workers``: host thread count (default: cpu count);
     ``chunk``: images per device launch (default: B/workers capped 16);
+    ``device_pack``: run each chunk's Huffman bit packing as one device
+    prefix-sum program (default on);
     ``trace_dir``: capture a ``jax.profiler`` trace of the whole batch
     into this directory (view with TensorBoard/Perfetto — the device
     stages appear under their ``nhw.*`` named scopes).
@@ -111,7 +135,8 @@ def encode_batch_device(images: np.ndarray, quality: int = 20,
 
     if trace_dir is not None:
         with jax.profiler.trace(trace_dir):
-            return encode_batch_device(images, quality, workers, chunk)
+            return encode_batch_device(images, quality, workers, chunk,
+                                       device_pack=device_pack)
 
     jax.devices()  # initialize the backend on the main thread: plugin
     # discovery (the axon tunnel) is not thread-safe on first touch
@@ -130,11 +155,12 @@ def encode_batch_device(images: np.ndarray, quality: int = 20,
 
     if n_workers == 1 or len(jobs) == 1:
         for imgs, idxs in jobs:
-            m.failures += _encode_chunk_device(imgs, quality, out, idxs)
+            m.failures += _encode_chunk_device(imgs, quality, out, idxs,
+                                               device_pack)
     else:
         with ThreadPoolExecutor(max_workers=n_workers) as ex:
             futs = [ex.submit(_encode_chunk_device, imgs, quality, out,
-                              idxs) for imgs, idxs in jobs]
+                              idxs, device_pack) for imgs, idxs in jobs]
             for f in futs:
                 m.failures += f.result()
     m.wall_s = time.perf_counter() - t0
