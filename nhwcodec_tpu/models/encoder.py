@@ -1004,11 +1004,19 @@ def encode_from_planes(yplane: np.ndarray, u8u: np.ndarray,
     return _assemble_packet(q, sec, pk)
 
 
-def encode(pixels: np.ndarray, quality: int = 20) -> bytes:
-    """Encode a (512,512,3) uint8 pixel array to .nhw bytes."""
+def encode(pixels: np.ndarray, quality: int = 20,
+           block_variance: bool = False) -> bytes:
+    """Encode a (512,512,3) uint8 pixel array to .nhw bytes.
+
+    ``block_variance``: enable the reference's dead E6 block-variance
+    smoother (call commented out at encoder/nhw_encoder.c:112; its
+    intended gate q <= LOW6 is preserved) — byte-exact vs an oracle
+    build with the call re-enabled (tests/test_block_variance.py)."""
     from nhwcodec_tpu.ops import prefilter
 
     y, u, v = colorspace.downsample_yuv420(pixels, quality)
+    if block_variance and quality <= T.LOW6:
+        y = prefilter.block_variance_avg(y)
     y_orig = y
     if quality < T.HIGH2:
         y = prefilter.pre_process_y(y, quality)

@@ -1495,3 +1495,51 @@ def _pre_process_y_low(yplane: np.ndarray, quality: int) -> np.ndarray:
     _FINAL_KERNEL_CACHE[(quality, yplane.tobytes())] = np.asarray(
         kf, np.int32)
     return jpeg
+
+
+def block_variance_avg(yplane: np.ndarray) -> np.ndarray:
+    """E6: 8x8 block variance smoother (encoder/image_processing.c:
+    2466-2598) — dead in the reference (call commented out at
+    encoder/nhw_encoder.c:112, intended gate q <= LOW6); flag-enabled
+    here via encode(block_variance=True).
+
+    All reads come from an unmodified snapshot and every write site is
+    distinct, so the whole pass is one masked 3x3 smoothing — pure
+    vectorized selects (TPU-trivial), no scan:
+
+    - pass 1: blocks with integer variance < 1500 smooth their 6x6
+      interior;
+    - pass 2: adjacent low-variance blocks (right / below, excluding the
+      last block row as base and block column 63 as base) smooth their
+      shared seam lines.
+    """
+    snap = np.asarray(yplane, np.int16).astype(np.int32)
+
+    blocks = snap.reshape(64, 8, 64, 8)
+    avg = (blocks.sum(axis=(1, 3)) + 32) >> 6
+    d = blocks - avg[:, None, :, None]
+    mask = (d * d).sum(axis=(1, 3)) < 1500  # (64, 64) low-variance blocks
+
+    sm = snap.copy()
+    c = snap
+    sm[1:-1, 1:-1] = ((c[1:-1, 1:-1] << 3)
+                      + c[1:-1, :-2] + c[1:-1, 2:]
+                      + c[:-2, 1:-1] + c[2:, 1:-1]
+                      + c[:-2, :-2] + c[:-2, 2:]
+                      + c[2:, :-2] + c[2:, 2:] + 8) >> 4
+
+    pos = np.zeros((64, 8, 64, 8), bool)
+    pos[:, 1:7, :, 1:7] = mask[:, None, :, None]
+    # vertical seams: block (r, j) cols 7 and 8 (= col 0 of (r, j+1)),
+    # rows 1..6, when both blocks are low-variance (r <= 62, j <= 62)
+    seam_r = mask[:63, :63] & mask[:63, 1:64]
+    pos[:63, 1:7, :63, 7] |= seam_r[:, None, :]
+    pos[:63, 1:7, 1:64, 0] |= seam_r[:, None, :]
+    # horizontal seams: block (r, j) row 7 and row 0 of (r+1, j),
+    # cols 1..6
+    seam_b = mask[:63, :63] & mask[1:64, :63]
+    pos[:63, 7, :63, 1:7] |= seam_b[:, :, None]
+    pos[1:64, 0, :63, 1:7] |= seam_b[:, :, None]
+
+    out = np.where(pos.reshape(512, 512), sm, snap)
+    return out.astype(np.int16)

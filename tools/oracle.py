@@ -84,3 +84,40 @@ def encode_det(bmp: Path, nhw: Path, q: int = 20) -> None:
     env = dict(os.environ, LD_PRELOAD=str(so))
     subprocess.run([str(enc), f"-q{q}", "-f", str(bmp), str(nhw)],
                    check=True, capture_output=True, env=env)
+
+
+_BVA_CALL = "//if (im->setup->quality_setting<=LOW6) block_variance_avg(im);"
+
+
+def build_bva() -> Path:
+    """Instrumented encoder with the dead block_variance_avg call
+    re-enabled (encoder/nhw_encoder.c:112) — the oracle for the
+    flag-gated E6 implementation (VERDICT r2 missing item 2)."""
+    import shutil
+
+    enc = BIN / "nhw-enc-bva"
+    if enc.exists():
+        return enc
+    src_dir = ORACLE_DIR / "src_enc_bva"
+    if src_dir.exists():
+        shutil.rmtree(src_dir)
+    src_dir.mkdir(parents=True)
+    for p in (REFERENCE / "encoder").iterdir():
+        shutil.copy(p, src_dir / p.name)
+    main = src_dir / "nhw_encoder.c"
+    text = main.read_text()
+    assert _BVA_CALL in text, "BVA call anchor not found"
+    main.write_text(text.replace(_BVA_CALL, _BVA_CALL.lstrip("/")))
+    BIN.mkdir(parents=True, exist_ok=True)
+    srcs = sorted(str(p) for p in src_dir.glob("*.c"))
+    subprocess.run(["gcc", "-O2", "-o", str(enc), *srcs, "-lm"], check=True)
+    return enc
+
+
+def encode_bva_det(bmp: Path, nhw: Path, q: int = 20) -> None:
+    """Deterministic encode through the BVA-enabled oracle build."""
+    enc = build_bva()
+    so = build_zmalloc()
+    env = dict(os.environ, LD_PRELOAD=str(so))
+    subprocess.run([str(enc), f"-q{q}", "-f", str(bmp), str(nhw)],
+                   check=True, capture_output=True, env=env)
