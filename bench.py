@@ -118,19 +118,35 @@ def _device_numbers(b: int = 64) -> dict:
     out["device_transform_pallas_mp_s"] = mp / _per_iter(
         _chain(enc_pallas_scalar), rgb, 2, 26)
 
+    from nhwcodec_tpu.ops import colorspace_limb as cslimb
+
+    def cs_limb_scalar(inp):
+        y, u, v = cslimb.yuv_norm_limb(inp[..., 0], inp[..., 1],
+                                       inp[..., 2], jnp)
+        du = csd._down420(csd._clip_u8(u, jnp).astype(jnp.uint8), jnp)
+        dv = csd._down420(csd._clip_u8(v, jnp).astype(jnp.uint8), jnp)
+        return (y.astype(jnp.int32).sum() + du.astype(jnp.int32).sum()
+                + dv.astype(jnp.int32).sum())
+
+    out["device_exact_colorspace_mp_s"] = mp / _per_iter(
+        _chain(cs_limb_scalar), rgb, 2, 10)
+
     def front_scalar(inp):
-        y, u, v = csd._yuv_full(inp, 20, jnp)
-        u = csd._down420(u, jnp)
-        v = csd._down420(v, jnp)
+        # the deployed q20 front: u32-limb exact colorspace + both
+        # bit-exact analysis levels (ops.colorspace_limb, no x64)
+        y, u, v = cslimb.yuv_norm_limb(inp[..., 0], inp[..., 1],
+                                       inp[..., 2], jnp)
+        y = y.astype(jnp.int16)
+        u = csd._down420(csd._clip_u8(u, jnp).astype(jnp.uint8), jnp)
+        v = csd._down420(csd._clip_u8(v, jnp).astype(jnp.uint8), jnp)
         yj, yp, yr, ys = analysis_y(y)
         uj, up, ur = analysis_uv(u, 20)
         vj, vp, vr = analysis_uv(v, 20)
         return (yp.astype(jnp.int32).sum() + up.astype(jnp.int32).sum()
                 + vp.astype(jnp.int32).sum() + yj.astype(jnp.int32).sum())
 
-    with jax.enable_x64(True):
-        out["device_exact_front_mp_s"] = mp / _per_iter(
-            _chain(front_scalar), rgb, 2, 10)
+    out["device_exact_front_mp_s"] = mp / _per_iter(
+        _chain(front_scalar), rgb, 2, 10)
 
     yc = jax.device_put(rng.integers(-64, 64, (b, 512, 512), np.int16))
 

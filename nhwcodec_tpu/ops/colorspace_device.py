@@ -300,6 +300,29 @@ def _jitted(key: int):
     return jax.jit(run)
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_limb():
+    """q >= NORM encode through the u32-limb chain (no x64 tracing,
+    native 32-bit lanes end to end; proven equal to the _yuv_full NORM
+    path over all 2^24 triples — tools/colorspace_limb_exhaustive.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nhwcodec_tpu.ops import colorspace_limb as cl
+
+    def run(rgb):
+        with jax.named_scope("nhw.colorspace.matrix"):
+            y, u, v = cl.yuv_norm_limb(
+                rgb[..., 0], rgb[..., 1], rgb[..., 2], jnp)
+            y = y.astype(jnp.int16)
+            u = _clip_u8(u, jnp).astype(jnp.uint8)
+            v = _clip_u8(v, jnp).astype(jnp.uint8)
+        with jax.named_scope("nhw.colorspace.down420"):
+            return y, _down420(u, jnp), _down420(v, jnp)
+
+    return jax.jit(run)
+
+
 def rgb_to_yuv420_device_exact(rgb, quality: int):
     """Bit-exact batched device colorspace.  rgb: (..., 512, 512, 3)
     uint8 (device or host).  Returns (Y (..., 512,512) int16,
@@ -308,6 +331,8 @@ def rgb_to_yuv420_device_exact(rgb, quality: int):
     import jax
     import jax.numpy as jnp
 
+    if quality >= T.NORM:
+        return _jitted_limb()(rgb)
     qtz = jnp.int32(QTZ.get(quality, 0))
     with jax.enable_x64(True):
         return _jitted(program_key(quality))(rgb, qtz)
@@ -463,6 +488,25 @@ def _jitted_dec(mode: int):
     return jax.jit(run)
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_dec_limb():
+    """Mode-0 decode through the u32-limb chain (no x64 tracing;
+    proven equal to the _yuv_to_rgb_mode(0) path over all 2^24
+    triples — tools/colorspace_limb_exhaustive.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nhwcodec_tpu.ops import colorspace_limb as cl
+
+    def run(y, u, v):
+        with jax.named_scope("nhw.yuv_to_rgb"):
+            r, g, b = cl.rgb_mode0_limb(y, u, v, jnp)
+            rgb = jnp.stack([r, g, b], axis=-1)
+            return _clip_u8(rgb, jnp).astype(jnp.uint8)
+
+    return jax.jit(run)
+
+
 def yuv_to_rgb_host_exact(y, u, v, quality: int) -> np.ndarray:
     """Numpy replay of the device decode colorspace (same code, xp=np)."""
     m23 = np.int64(yinv_m23(quality) if quality < T.NORM else 0)
@@ -478,6 +522,8 @@ def yuv_to_rgb_device_exact(y, u, v, quality: int):
     import jax
     import jax.numpy as jnp
 
+    if quality >= T.NORM:
+        return _jitted_dec_limb()(y, u, v)
     m23 = jnp.int64(yinv_m23(quality) if quality < T.NORM else 0)
     with jax.enable_x64(True):
         return _jitted_dec(dec_mode(quality))(y, u, v, m23)
