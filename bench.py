@@ -123,8 +123,8 @@ def _device_numbers(b: int = 64) -> dict:
     def cs_limb_scalar(inp):
         y, u, v = cslimb.yuv_norm_limb(inp[..., 0], inp[..., 1],
                                        inp[..., 2], jnp)
-        du = csd._down420(csd._clip_u8(u, jnp).astype(jnp.uint8), jnp)
-        dv = csd._down420(csd._clip_u8(v, jnp).astype(jnp.uint8), jnp)
+        du = csd._down420_mxu(csd._clip_u8(u, jnp).astype(jnp.uint8), jnp)
+        dv = csd._down420_mxu(csd._clip_u8(v, jnp).astype(jnp.uint8), jnp)
         return (y.astype(jnp.int32).sum() + du.astype(jnp.int32).sum()
                 + dv.astype(jnp.int32).sum())
 
@@ -137,8 +137,8 @@ def _device_numbers(b: int = 64) -> dict:
         y, u, v = cslimb.yuv_norm_limb(inp[..., 0], inp[..., 1],
                                        inp[..., 2], jnp)
         y = y.astype(jnp.int16)
-        u = csd._down420(csd._clip_u8(u, jnp).astype(jnp.uint8), jnp)
-        v = csd._down420(csd._clip_u8(v, jnp).astype(jnp.uint8), jnp)
+        u = csd._down420_mxu(csd._clip_u8(u, jnp).astype(jnp.uint8), jnp)
+        v = csd._down420_mxu(csd._clip_u8(v, jnp).astype(jnp.uint8), jnp)
         yj, yp, yr, ys = analysis_y(y)
         uj, up, ur = analysis_uv(u, 20)
         vj, vp, vr = analysis_uv(v, 20)

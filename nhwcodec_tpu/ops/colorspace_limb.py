@@ -101,7 +101,11 @@ def _ge_pair(h1, l1, h2, l2):
 
 def _rne53(hi, lo, xp):
     """RNE to a 53-bit mantissa of a pair value < 2^64.  The shift is
-    max(bitlen - 53, 0) <= 11, entirely inside the low limb."""
+    max(bitlen - 53, 0) <= 11, entirely inside the low limb.
+
+    All shift amounts are clamped in int32 and cast to uint32 only at
+    the shift itself: Mosaic has no unsigned vector min/max
+    (arith.minui fails to legalize)."""
     one = xp.uint32(1)
     sh = xp.maximum(_bl32(hi, xp) - 21, 0).astype(xp.uint32)
     mask = (one << sh) - one
@@ -115,27 +119,28 @@ def _rne53(hi, lo, xp):
 
 
 def _shr_pair(hi, lo, sh, xp):
-    """Logical right shift of a pair by sh in [0, 63] (per-lane)."""
-    one = xp.uint32(1)
-    shc = xp.minimum(sh, xp.uint32(31))
-    sh2 = xp.minimum(sh - xp.uint32(32), xp.uint32(31))
+    """Logical right shift of a pair by int32 sh in [0, 63] (per-lane);
+    clamps stay in int32 (Mosaic has no unsigned vector min/max)."""
+    shc = xp.minimum(sh, 31).astype(xp.uint32)
+    sh2 = xp.minimum(xp.maximum(sh - 32, 0), 31).astype(xp.uint32)
     lo_small = (lo >> shc) | xp.where(
-        sh == 0, xp.uint32(0), hi << ((xp.uint32(32) - shc) & xp.uint32(31)))
+        sh == 0, xp.uint32(0),
+        hi << ((xp.uint32(32) - shc) & xp.uint32(31)))
     lo_small = xp.where(sh == 0, lo, lo_small)
     big = sh >= 32
     r_lo = xp.where(big, hi >> sh2, lo_small)
     r_hi = xp.where(big, xp.uint32(0), hi >> shc)
-    del one
     return r_hi, r_lo
 
 
 def _shl_pair(hi, lo, sh, xp):
-    """Left shift of a pair by sh in [0, 63] (per-lane); overflow out
-    of bit 63 is the caller's responsibility to exclude."""
-    shc = xp.minimum(sh, xp.uint32(31))
-    sh2 = xp.minimum(sh - xp.uint32(32), xp.uint32(31))
+    """Left shift of a pair by int32 sh in [0, 63] (per-lane); overflow
+    out of bit 63 is the caller's responsibility to exclude."""
+    shc = xp.minimum(sh, 31).astype(xp.uint32)
+    sh2 = xp.minimum(xp.maximum(sh - 32, 0), 31).astype(xp.uint32)
     hi_small = (hi << shc) | xp.where(
-        sh == 0, xp.uint32(0), lo >> ((xp.uint32(32) - shc) & xp.uint32(31)))
+        sh == 0, xp.uint32(0),
+        lo >> ((xp.uint32(32) - shc) & xp.uint32(31)))
     hi_small = xp.where(sh == 0, hi, hi_small)
     big = sh >= 32
     r_hi = xp.where(big, lo << sh2, hi_small)
@@ -148,11 +153,11 @@ def _rne24_pair(hi, lo, xp):
     narrowing steps); shift up to 40 crosses the limb boundary."""
     one = xp.uint32(1)
     bl = xp.where(hi > 0, _bl32(hi, xp) + 32, _bl32(lo, xp))
-    sh = xp.maximum(bl - 24, 0).astype(xp.uint32)
+    sh = xp.maximum(bl - 24, 0).astype(xp.int32)
     k_hi, k_lo = _shr_pair(hi, lo, sh, xp)
     b_hi, b_lo = _shl_pair(k_hi, k_lo, sh, xp)
     r_hi, r_lo = _sub_pair(hi, lo, b_hi, b_lo, xp)
-    hm1 = sh - one                            # sh == 0 -> no rounding below
+    hm1 = xp.maximum(sh - 1, 0)               # sh == 0 zeroed below
     h_hi, h_lo = _shl_pair(xp.zeros_like(hi), xp.ones_like(lo), hm1, xp)
     h_hi = xp.where(sh == 0, xp.uint32(0), h_hi)
     h_lo = xp.where(sh == 0, xp.uint32(0), h_lo)

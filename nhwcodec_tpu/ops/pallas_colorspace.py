@@ -1,0 +1,102 @@
+"""Fused Pallas TPU kernel for the u32-limb exact colorspace (q >= NORM).
+
+One `pallas_call` per batch element runs the whole encode colorspace —
+the bit-exact limb matrix chains (ops.colorspace_limb, proven over all
+2^24 RGB triples) plus the integer 4:2:0 chroma downsample
+(encoder/colorspace.c:55-260) — entirely in VMEM.
+
+**Not the deployed path.**  Measured on a v5e chip (chained-jit,
+batch 64) this kernel runs 4,164 MP/s, while the XLA limb path with the
+MXU-matmul downsample (colorspace_device._jitted_limb + _down420_mxu)
+runs 14,286 MP/s: the limb chain is compute-bound, XLA fuses it fully
+on its own, and the VPU transposes this kernel uses for the decimation
+lose to the MXU formulation.  Kept (with its equality test) as the
+proof that the limb chain lowers through Mosaic — pallas notes that
+mattered: no unsigned vector min/max (clamp shifts in int32),
+`lax.clz` lowers natively, u8 blocks to stay under the 16M scoped VMEM
+limit, decimation on the transposed plane so the strided axis is the
+sublane axis.
+
+The decode direction (mode-0 YUV->RGB) is a plain elementwise program
+with no decimation, so the XLA path is already one fused kernel; no
+Pallas twin is needed there.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nhwcodec_tpu.ops import colorspace_limb as cl
+
+
+def _clip_u8(v):
+    return jnp.where((v >> 8) != 0, jnp.where(v < 0, 0, 255), v)
+
+
+def _shift_down(a):
+    return jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]], axis=0)
+
+
+def _down_pairs_sublane(x):
+    """One [1,2,1]/4 decimating pass along the sublane axis:
+    (2m, W) int32 -> (m, W) int32 (encoder/colorspace.c:220-256; row 0
+    is the (x0+x1+1)>>1 seam)."""
+    m = x.shape[0] // 2
+    e = x.reshape(m, 2, x.shape[1])[:, 0, :]
+    o = x.reshape(m, 2, x.shape[1])[:, 1, :]
+    mid = (_shift_down(o) + 2 * e + o + 2) >> 2
+    first = (e[:1] + o[:1] + 1) >> 1
+    return jnp.concatenate([first, mid[1:]], axis=0)
+
+
+def _down420_vmem(c):
+    """(512, 512) int32 chroma plane -> (256, 256) int32, all in VMEM:
+    horizontal pass on the transpose (decimated axis -> sublanes), then
+    the vertical pass directly."""
+    hT = _down_pairs_sublane(c.T)          # (256, 512): cols halved
+    h = hT.T                               # (512, 256)
+    return _down_pairs_sublane(h)          # (256, 256)
+
+
+def _colorspace_kernel(r_ref, g_ref, b_ref, y_ref, u_ref, v_ref):
+    # u8 blocks keep the VMEM footprint under the 16M scoped limit at
+    # batch-worthy grid pipelining; widen to i32 in-kernel
+    r = r_ref[0].astype(jnp.int32)
+    g = g_ref[0].astype(jnp.int32)
+    b = b_ref[0].astype(jnp.int32)
+    y, u, v = cl.yuv_norm_limb(r, g, b, jnp)
+    y_ref[0] = y.astype(jnp.int16)
+    u_ref[0] = _down420_vmem(_clip_u8(u)).astype(jnp.uint8)
+    v_ref[0] = _down420_vmem(_clip_u8(v)).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def colorspace_down420_pallas(rgb: jnp.ndarray, interpret: bool = False):
+    """Fused exact q >= NORM colorspace + 4:2:0 downsample.
+
+    rgb: (B, 512, 512, 3) uint8 -> (Y (B,512,512) int16,
+    U, V (B,256,256) uint8); bit-identical to
+    ops.colorspace_device.rgb_to_yuv420_device_exact at q >= NORM."""
+    b = rgb.shape[0]
+    n = rgb.shape[1]
+    h = n // 2
+    planes = jnp.transpose(rgb, (3, 0, 1, 2))
+    spec = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    spec_h = pl.BlockSpec((1, h, h), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _colorspace_kernel,
+        grid=(b,),
+        in_specs=[spec, spec, spec],
+        out_specs=[spec, spec_h, spec_h],
+        out_shape=[jax.ShapeDtypeStruct((b, n, n), jnp.int16),
+                   jax.ShapeDtypeStruct((b, h, h), jnp.uint8),
+                   jax.ShapeDtypeStruct((b, h, h), jnp.uint8)],
+        interpret=interpret,
+    )(planes[0], planes[1], planes[2])

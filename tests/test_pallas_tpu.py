@@ -98,3 +98,21 @@ def test_fused_x64_front_matches_xla_on_tpu():
     for ta, tb in zip(jax.tree_util.tree_leaves(a),
                       jax.tree_util.tree_leaves(b)):
         np.testing.assert_array_equal(ta, tb)
+
+
+@requires_tpu
+def test_pallas_colorspace_matches_deployed_on_tpu():
+    """The Mosaic limb-colorspace kernel == the deployed XLA limb path
+    (both bit-exact vs the host oracle path at q >= NORM)."""
+    import jax.numpy as jnp
+
+    from nhwcodec_tpu.ops import colorspace_device as csd
+    from nhwcodec_tpu.ops.pallas_colorspace import colorspace_down420_pallas
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (2, 512, 512, 3), dtype=np.uint8)
+    rgb[0, :8, :8] = [255, 0, 0]
+    a = csd.rgb_to_yuv420_device_exact(rgb, 20)
+    b = colorspace_down420_pallas(jnp.asarray(rgb))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
