@@ -62,7 +62,7 @@ for name, img in imgs.items():
         np.testing.assert_array_equal(got_uv, want_uv,
                                       err_msg=f'{name} q{q} UV')
 
-# the runs-only automaton (the 2-3x shorter serial core) must agree too
+# the runs-only automaton (the 2-3x shorter serial core) must agree
 for name, img in imgs.items():
     for q in (20, 8, 23, 1, 16):
         s = container.parse_nhw(encoder.encode(img, q))
@@ -70,15 +70,29 @@ for name, img in imgs.items():
                                   s.select_word2, s.res_high)
         got_y = edd.decode_y_device(s.packet1, s.tree1, s.select_word1,
                                     s.select_word2, s.res_high,
-                                    use_runs=True)
+                                    automaton='runs')
         np.testing.assert_array_equal(got_y, want_y,
                                       err_msg=f'runs {name} q{q}')
 
-# batched (vmapped) Y automaton: mixed-content batch, one quality
+# chunked fixpoint: two shape classes (dense + sparse) single-stream,
+# then the batched default path for both modes (CPU compile cost gates
+# a wider sweep; tools/fuzz_wave_device.py covers the deployed batch
+# paths wave-style, and the chip bench measures the real shapes)
+for name, q in (('grad', 20), ('rand', 8)):
+    s = container.parse_nhw(encoder.encode(imgs[name], q))
+    want_y = entropy.decode_y(s.packet1, s.tree1, s.select_word1,
+                              s.select_word2, s.res_high)
+    got_y = edd.decode_y_device(s.packet1, s.tree1, s.select_word1,
+                                s.select_word2, s.res_high,
+                                automaton='chunked')
+    np.testing.assert_array_equal(got_y, want_y,
+                                  err_msg=f'chunked {name} q{q}')
+
+# batched Y automaton: mixed-content batch, one quality
 streams = [container.parse_nhw(encoder.encode(img, 20))
            for img in imgs.values()]
-for runs in (False, True):
-    outs = edd.decode_y_device_batch(streams, use_runs=runs)
+for mode in ('runs', 'chunked'):
+    outs = edd.decode_y_device_batch(streams, automaton=mode)
     for s, got in zip(streams, outs):
         want = entropy.decode_y(s.packet1, s.tree1, s.select_word1,
                                 s.select_word2, s.res_high)
@@ -92,7 +106,7 @@ def _run(code: str) -> None:
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     out = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
-                         capture_output=True, text=True, timeout=900)
+                         capture_output=True, text=True, timeout=3000)
     assert out.returncode == 0, out.stderr
     assert "OK" in out.stdout
 
