@@ -57,6 +57,14 @@ def _segments(zone_on: bool):
 
     lut = _peek_lut(zone_on)
     lens = (lut >> 10).astype(np.int64)
+    # MAXST/WSTEPS hard-code the code-length range [2, 20] of the static
+    # Huffman table (encoder/tree.h:58-140).  If the table (or a filler
+    # entry surviving _peek_lut) ever falls outside that range, the
+    # word-walk under-steps and corrupts the chain silently — fail loudly
+    # here instead.
+    assert int(lens.min()) >= 2 and int(lens.max()) <= MAXST, (
+        f"Huffman code lengths [{lens.min()}, {lens.max()}] outside the "
+        f"[2, {MAXST}] range assumed by MAXST/WSTEPS")
     syms = (lut & 0x3FF).astype(np.int64)
     base = syms - (np.arange(1 << PEEK) >> (PEEK - lens))
     key = (lens << 32) | (base & 0xFFFFFFFF)

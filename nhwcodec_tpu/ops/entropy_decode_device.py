@@ -955,7 +955,15 @@ def decode_y_device_batch(streams: list, p1: int = 4 * T.IM_SIZE,
 
     ``automaton``: "chunked" (default — the K-parallel fixpoint runs
     automaton), "runs", or "full"; ``use_runs`` kept for back-compat
-    (True == "runs")."""
+    (True == "runs").
+
+    Worst-case bound of the default: the chunked fixpoint converges in
+    at most ``k_chunks + 1`` sweeps (chunk 0 is pinned after sweep 1,
+    chunk i after sweep i+1), so an adversarial stream whose carry
+    influence is never local costs up to ~(k+1)x the runs automaton's
+    single sweep.  Real streams settle in 2-3 sweeps (the select/run
+    state re-synchronises within a chunk); use ``automaton="runs"`` for
+    a latency-deterministic single sweep."""
     from nhwcodec_tpu.ops import entropy
 
     if automaton is None:

@@ -36,12 +36,16 @@ def main() -> int:
     from nhwcodec_tpu.models import decoder, encoder
     from nhwcodec_tpu.parallel import device_pipeline, mesh
 
-    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    qs = [20, 23, 22, 19, 16, 8, 1]
-    for a in sys.argv[3:]:
-        if a.startswith("--qualities"):
-            qs = [int(x) for x in a.split("=", 1)[1].split(",")]
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("seed", nargs="?", type=int, default=50)
+    ap.add_argument("n_images", nargs="?", type=int, default=8)
+    ap.add_argument("--qualities", type=lambda s: [int(x) for x in
+                                                   s.split(",")],
+                    default=[20, 23, 22, 19, 16, 8, 1])
+    opts = ap.parse_args()
+    seed, n, qs = opts.seed, opts.n_images, opts.qualities
 
     rng = np.random.default_rng(seed)
     imgs = np.stack([make_image(rng) for _ in range(n)])
