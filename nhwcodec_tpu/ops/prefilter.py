@@ -94,32 +94,56 @@ def _kernel_pass_simple(res: np.ndarray, cnt: np.ndarray) -> np.ndarray:
     return kernel
 
 
-_KERNEL_CACHE: dict[tuple[int, bytes], np.ndarray] = {}
+# Identity-keyed single-entry caches with a weakref liveness guard:
+# content keys (tobytes + hash of a 512KB plane) cost ~0.3 ms per
+# encode; identity keys are free.  A stale id can never alias — the
+# weakref must still resolve to the SAME object for a hit.  Contract:
+# callers must not mutate the keyed plane in place between the
+# pre-filter and the encoder's kernel-head read (encode() never does;
+# both copy before filtering).
+_KERNEL_CACHE: dict[int, tuple] = {}
 
 # final q<=LOW4 kernel state (post pair-walk/sentinel/sharpen mutations):
 # the encoder's q<LOW6 cleanup reads the reference's freed-kernel slack,
 # which reflects this free-time state, not the initial kernel pass
-_FINAL_KERNEL_CACHE: dict[tuple[int, bytes], np.ndarray] = {}
+_FINAL_KERNEL_CACHE: dict[int, tuple] = {}
+
+
+def _cache_get(cache: dict, arr: np.ndarray, quality: int):
+    ent = cache.get(id(arr))
+    if ent is not None:
+        wref, q0, val = ent
+        if q0 == quality and wref() is arr:
+            return val
+    return None
+
+
+def _cache_put(cache: dict, arr: np.ndarray, quality: int, val) -> None:
+    import weakref
+
+    cache.clear()
+    try:
+        cache[id(arr)] = (weakref.ref(arr), quality, val)
+    except TypeError:  # non-weakref-able input (plain lists in tests)
+        pass
 
 
 def final_low_kernel(yplane: np.ndarray, quality: int) -> np.ndarray:
     """The nhw_kernel contents at free time for the q<=LOW4 path (flat
     int32).  Computed as a side effect of _pre_process_y_low and cached;
     replays the pre-filter if called first."""
-    key = (quality, yplane.tobytes())
-    hit = _FINAL_KERNEL_CACHE.get(key)
+    hit = _cache_get(_FINAL_KERNEL_CACHE, yplane, quality)
     if hit is None:
         _pre_process_y_low(yplane, quality)
-        hit = _FINAL_KERNEL_CACHE[key]
+        hit = _cache_get(_FINAL_KERNEL_CACHE, yplane, quality)
     return hit
 
 
 def kernel_for(yplane: np.ndarray, quality: int) -> np.ndarray:
     """The nhw_kernel plane (flat int32) — also needed by the encoder to
     reproduce the reference's heap-tail reads past its tree1 buffer.
-    Cached by plane contents (computed once per encode)."""
-    key = (quality, yplane.tobytes())
-    hit = _KERNEL_CACHE.get(key)
+    Cached by plane identity (computed once per encode)."""
+    hit = _cache_get(_KERNEL_CACHE, yplane, quality)
     if hit is not None:
         return hit
 
@@ -135,8 +159,7 @@ def kernel_for(yplane: np.ndarray, quality: int) -> np.ndarray:
     else:
         res_a, cnt_a = _gradient_sums(yplane)
         k = _kernel_pass_simple(res_a, cnt_a)
-    _KERNEL_CACHE.clear()
-    _KERNEL_CACHE[key] = k
+    _cache_put(_KERNEL_CACHE, yplane, quality, k)
     return k
 
 
@@ -1478,8 +1501,7 @@ def _pre_process_y_low(yplane: np.ndarray, quality: int) -> np.ndarray:
             ffi.cast("int16_t *", jf.ctypes.data),
             ffi.cast("int32_t *", kern.ctypes.data),
             ffi.cast("uint8_t *", sharp.ctypes.data), sharpness, sharpn2)
-        _FINAL_KERNEL_CACHE.clear()
-        _FINAL_KERNEL_CACHE[(quality, yplane.tobytes())] = kern
+        _cache_put(_FINAL_KERNEL_CACHE, yplane, quality, kern)
         return jpeg
 
     res_a, cnt_a = _gradient_sums(yplane)
@@ -1491,9 +1513,8 @@ def _pre_process_y_low(yplane: np.ndarray, quality: int) -> np.ndarray:
     _pair_walk_low(jf, pf, kf, quality, sharpness, sharpn2, n1, sharp_on)
     _sentinel_pass_low4(jf, kf, sharp_on, sharpness, sharpn2)
     _pair_sharpen_low4(jf, kf, sharp_on, sharpness, sharpn2)
-    _FINAL_KERNEL_CACHE.clear()
-    _FINAL_KERNEL_CACHE[(quality, yplane.tobytes())] = np.asarray(
-        kf, np.int32)
+    _cache_put(_FINAL_KERNEL_CACHE, yplane, quality,
+               np.asarray(kf, np.int32))
     return jpeg
 
 
