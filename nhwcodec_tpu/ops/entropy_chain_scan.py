@@ -218,10 +218,14 @@ def chain_starts_batch(words: jnp.ndarray, nbits: jnp.ndarray,
     prefix = jnp.cumsum(cnt_w, axis=1) - cnt_w
     rank = prefix[:, None, :] + jnp.arange(
         WSTEPS, dtype=jnp.int32)[None, :, None]
-    flat_rank = jnp.where(valid & (rank < s_max), rank, s_max)
     row = jnp.arange(b, dtype=jnp.int32)[:, None, None] * (s_max + 1)
+    # distinct OOB sentinels -> unique_indices: without the promise
+    # XLA:TPU serializes the multi-million-update scatter
+    seq = jnp.arange(rank.size, dtype=jnp.int32).reshape(rank.shape)
+    flat_rank = jnp.where(valid & (rank < s_max), rank + row,
+                          b * (s_max + 1) + seq)
     out = jnp.zeros(b * (s_max + 1), jnp.int32)
-    out = out.at[(flat_rank + row).reshape(-1)].set(
-        sym_s.reshape(-1), mode="drop")
+    out = out.at[flat_rank.reshape(-1)].set(
+        sym_s.reshape(-1), mode="drop", unique_indices=True)
     syms = out.reshape(b, s_max + 1)[:, :s_max]
     return syms, counts

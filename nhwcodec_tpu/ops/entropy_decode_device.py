@@ -206,6 +206,20 @@ def _codeword_chain_words(words, nbits, s_max: int, zone_on: bool):
     return syms[0], count[0]
 
 
+def _chain_dispatch(words2d, nbits, zone, s_max: int):
+    """Backend-dispatched chain extraction: the gather-free segment
+    cascade (ops.entropy_chain_scan) on accelerators, the peek-LUT +
+    pointer-doubling formulation on the CPU backend (the cascade's
+    op-heavy graph takes tens of minutes to compile on XLA:CPU at real
+    shapes; the LUT form compiles in seconds and gathers are cheap
+    there).  Bit-equal either way (tests/test_entropy_chain_scan.py)."""
+    if jax.default_backend() == "cpu":
+        return _codeword_chain_batch(words2d, nbits, zone, s_max)
+    from nhwcodec_tpu.ops import entropy_chain_scan as ecs
+
+    return ecs.chain_starts_batch(words2d, nbits, zone, s_max)
+
+
 @jax.jit
 def _run_count(syms, vals, count):
     """Number of run symbols among the real (pre-park) chain — sizes the
@@ -214,6 +228,21 @@ def _run_count(syms, vals, count):
     word = vals[jnp.minimum(syms, nv - 1)]
     live = jnp.arange(syms.shape[0], dtype=jnp.int32) <= count
     return jnp.sum((word == 0x80) & live)
+
+
+@jax.jit
+def _run_count_batch(syms, vals, counts):
+    """Per-stream run-symbol counts in ONE launch (the per-stream loop
+    cost 32 dispatches per batch over the remote tunnel); flat 1-D
+    gather over a row-offset index space."""
+    b, nv = vals.shape
+    rowV = (jnp.arange(b, dtype=jnp.int32) * nv)[:, None]
+    sym_c = jnp.minimum(syms, nv - 1)
+    word = vals.reshape(-1)[(sym_c + rowV).reshape(-1)].reshape(
+        syms.shape)
+    live = (jnp.arange(syms.shape[1], dtype=jnp.int32)[None, :]
+            <= counts[:, None])
+    return jnp.sum((word == 0x80) & live, axis=1)
 
 
 # ------------------------------------------------------------------
@@ -343,10 +372,12 @@ def _y_automaton(syms, vals, rles, sel1, sel2, p1: int):
 
     out = jnp.zeros(p1 + 512, jnp.int16)
     big = p1 + 512
-    out = out.at[jnp.where(pa < 0, big, pa)].set(
-        va.astype(jnp.int16), mode="drop")
-    out = out.at[jnp.where(pb < 0, big, pb)].set(
-        vb.astype(jnp.int16), mode="drop")
+    # distinct OOB sentinels -> unique_indices (see _runs_emit_batch)
+    seqS = big + jnp.arange(pa.shape[0], dtype=jnp.int32)
+    out = out.at[jnp.where(pa < 0, seqS, pa)].set(
+        va.astype(jnp.int16), mode="drop", unique_indices=True)
+    out = out.at[jnp.where(pb < 0, seqS, pb)].set(
+        vb.astype(jnp.int16), mode="drop", unique_indices=True)
     return out[:p1]
 
 
@@ -369,8 +400,10 @@ def _uv_scatter(syms, vals, rles, p1: int):
     live = (e_start < p1 - 1) & (~is_run)
     big = p1 + 512
     out = jnp.zeros(p1 + 512, jnp.int16)
-    out = out.at[jnp.where(live, e_start, big)].set(
-        val_t[word].astype(jnp.int16), mode="drop")
+    # distinct OOB sentinels -> unique_indices (see _runs_emit_batch)
+    seqS = big + jnp.arange(e_start.shape[0], dtype=jnp.int32)
+    out = out.at[jnp.where(live, e_start, seqS)].set(
+        val_t[word].astype(jnp.int16), mode="drop", unique_indices=True)
     return out[: 2 * T.IM_SIZE]
 
 
@@ -409,15 +442,13 @@ def decode_y_device(packet1: np.ndarray, tree1: np.ndarray,
     flip it where compiles are local/cached."""
     from nhwcodec_tpu.ops import entropy
 
-    from nhwcodec_tpu.ops import entropy_chain_scan as ecs
-
     vals, rles = entropy.build_y_book(tree1)
     vd, rd = _book_device(vals, rles)
     words, nbits = _words_device(packet1)
     s_max = min(p1, max(64, nbits // 2 + 2))
     s_max = 1 << (s_max - 1).bit_length()
     zone_on = res_high < 4
-    symsB, countB = ecs.chain_starts_batch(
+    symsB, countB = _chain_dispatch(
         words[None], jnp.asarray([nbits], jnp.int32),
         jnp.asarray([1 if zone_on else 0], jnp.int32), s_max)
     syms, count = symsB[0], countB[0]
@@ -616,10 +647,12 @@ def _runs_emit(ins_seq, ev1, ev2, pos_r, lits, sel1, sel2, p1: int,
     lit = (~is_run) & (e_sym < p1 - 1)
     big = p1 + 512
     out = jnp.zeros(p1 + 512, jnp.int16)
-    out = out.at[jnp.where(lit, e_sym, big)].set(
-        wv1.astype(jnp.int16), mode="drop")
-    out = out.at[jnp.where(lit & (whas2 == 1), e_sym + 4, big)].set(
-        wv2.astype(jnp.int16), mode="drop")
+    # distinct OOB sentinels -> unique_indices (see _runs_emit_batch)
+    seqS = big + jnp.arange(e_sym.shape[0], dtype=jnp.int32)
+    out = out.at[jnp.where(lit, e_sym, seqS)].set(
+        wv1.astype(jnp.int16), mode="drop", unique_indices=True)
+    out = out.at[jnp.where(lit & (whas2 == 1), e_sym + 4, seqS)].set(
+        wv2.astype(jnp.int16), mode="drop", unique_indices=True)
 
     # inserted values from the select bitstream ranks
     r1 = jnp.cumsum(ev1.astype(jnp.int32)) - 1
@@ -629,8 +662,9 @@ def _runs_emit(ins_seq, ev1, ev2, pos_r, lits, sel1, sel2, p1: int,
     sv2 = jnp.where(sel2[jnp.minimum(jnp.maximum(r2, 0),
                                      sel2.shape[0] - 1)] == 0, -11, 11)
     iv = jnp.where(ev2, sv2, sv1)
-    out = out.at[jnp.where(ins_seq, pos_r, big)].set(
-        iv.astype(jnp.int16), mode="drop")
+    seqR = big + jnp.arange(pos_r.shape[0], dtype=jnp.int32)
+    out = out.at[jnp.where(ins_seq, pos_r, seqR)].set(
+        iv.astype(jnp.int16), mode="drop", unique_indices=True)
     return out[:p1]
 
 
@@ -779,11 +813,13 @@ def _runs_extract(rle_x, is_run, wmem2, base_e, runs_before,
     rowR = (jnp.arange(b, dtype=jnp.int32) * (r_max + 1))[:, None]
     sidx = jnp.broadcast_to(
         jnp.arange(s_len, dtype=jnp.int32)[None, :], (b, s_len))
+    # distinct OOB sentinels -> unique_indices (see _runs_emit_batch)
+    seqS = jnp.arange(b * s_len, dtype=jnp.int32).reshape(b, s_len)
     tgt = jnp.where(is_run & (runs_before < r_max),
-                    runs_before + rowR, b * (r_max + 1))
+                    runs_before + rowR, b * (r_max + 1) + seqS)
     run_idx = jnp.full(b * (r_max + 1), s_len, jnp.int32)
     run_idx = run_idx.at[tgt.reshape(-1)].set(
-        sidx.reshape(-1), mode="drop")
+        sidx.reshape(-1), mode="drop", unique_indices=True)
     run_idx = run_idx.reshape(b, r_max + 1)[:, :r_max]
 
     vld = run_idx < s_len
@@ -863,45 +899,62 @@ def _runs_fixpoint(xs_t, p1: int, k: int):
 
 @functools.partial(jax.jit, static_argnames=("p1", "r_max"))
 def _runs_emit_batch(ys, lits, sel1, sel2, p1: int, r_max: int):
-    """Batched _runs_emit with every gather/scatter FLATTENED to 1-D
-    over a row-offset index space (a vmapped emit lowers its scatters
-    as 2-D scatters — both the pathological-compile and the ~100x-
-    slower-gather class on TPU; see _codeword_chain_batch's note)."""
+    """Batched _runs_emit: scatters flattened to 1-D over a row-offset
+    index space with per-element OOB sentinels + unique_indices (the
+    parallel scatter lowering), gathers as row-local take_along_axis
+    (the flat 1-D form miscompiles in this program on XLA:TPU — see
+    the inline comments)."""
     b = sel1.shape[0]
     ins_seq, ev1, ev2, pos_r = (a.T.reshape(b, r_max) for a in ys)
     is_run, base_e, runs_before, wv1, wv2, whas2 = lits   # (B, s_len)
     s_len = base_e.shape[1]
-    rowR = (jnp.arange(b, dtype=jnp.int32) * (r_max + 1))[:, None]
 
     ins_excl = jnp.concatenate(
         [jnp.zeros((b, 1), jnp.int32),
          jnp.cumsum(ins_seq.astype(jnp.int32), axis=1)], axis=1)
-    take = (jnp.minimum(runs_before, r_max) + rowR).reshape(-1)
-    e_sym = base_e + ins_excl.reshape(-1)[take].reshape(b, s_len)
+    # row-local take_along_axis, NOT a flat row-offset gather: in this
+    # fused emit program the flat 1-D gather lowering returns WRONG
+    # values for batch rows >= 1 on the XLA:TPU backend (identical
+    # input rows decoded differently; reproduced deterministically,
+    # standalone-jit correct, sorted-hint variant equally wrong).
+    # take_along_axis keeps the gather batch-dimensional and is
+    # bit-exact across trials; CPU agrees with both formulations.
+    e_sym = base_e + jnp.take_along_axis(
+        ins_excl, jnp.minimum(runs_before, r_max), axis=1)
 
     stride = p1 + 512
     total = b * stride
     rowO = (jnp.arange(b, dtype=jnp.int32) * stride)[:, None]
     lit = (~is_run) & (e_sym < p1 - 1)
     out = jnp.zeros(total, jnp.int16)
-    idx1 = jnp.where(lit, e_sym + rowO, total).reshape(-1)
-    out = out.at[idx1].set(wv1.astype(jnp.int16).reshape(-1), mode="drop")
+    # per-element OOB sentinels keep every index distinct, so the
+    # scatters can promise unique_indices=True — without it XLA:TPU
+    # serializes each 8M-update scatter (~1 s/scatter measured; the
+    # whole emit drops to ~25 ms with the promise)
+    seqS = jnp.arange(b * s_len, dtype=jnp.int32).reshape(b, s_len)
+    idx1 = jnp.where(lit, e_sym + rowO, total + seqS).reshape(-1)
+    out = out.at[idx1].set(wv1.astype(jnp.int16).reshape(-1),
+                           mode="drop", unique_indices=True)
     idx2 = jnp.where(lit & (whas2 == 1), e_sym + 4 + rowO,
-                     total).reshape(-1)
-    out = out.at[idx2].set(wv2.astype(jnp.int16).reshape(-1), mode="drop")
+                     total + seqS).reshape(-1)
+    out = out.at[idx2].set(wv2.astype(jnp.int16).reshape(-1),
+                           mode="drop", unique_indices=True)
 
     # inserted values from the per-stream select bitstream ranks
     sl = sel1.shape[1]
-    rowS = (jnp.arange(b, dtype=jnp.int32) * sl)[:, None]
     r1 = jnp.cumsum(ev1.astype(jnp.int32), axis=1) - 1
     r2 = jnp.cumsum(ev2.astype(jnp.int32), axis=1) - 1
-    g1 = (jnp.clip(r1, 0, sl - 1) + rowS).reshape(-1)
-    g2 = (jnp.clip(r2, 0, sl - 1) + rowS).reshape(-1)
-    sv1 = jnp.where(sel1.reshape(-1)[g1] == 0, 11, -11).reshape(b, r_max)
-    sv2 = jnp.where(sel2.reshape(-1)[g2] == 0, -11, 11).reshape(b, r_max)
+    # take_along_axis for the same reason as e_sym above
+    b1 = jnp.take_along_axis(sel1, jnp.clip(r1, 0, sl - 1), axis=1)
+    b2 = jnp.take_along_axis(sel2, jnp.clip(r2, 0, sel2.shape[1] - 1),
+                             axis=1)
+    sv1 = jnp.where(b1 == 0, 11, -11)
+    sv2 = jnp.where(b2 == 0, -11, 11)
     iv = jnp.where(ev2, sv2, sv1)
-    idx3 = jnp.where(ins_seq, pos_r + rowO, total).reshape(-1)
-    out = out.at[idx3].set(iv.astype(jnp.int16).reshape(-1), mode="drop")
+    seqR = jnp.arange(b * r_max, dtype=jnp.int32).reshape(b, r_max)
+    idx3 = jnp.where(ins_seq, pos_r + rowO, total + seqR).reshape(-1)
+    out = out.at[idx3].set(iv.astype(jnp.int16).reshape(-1),
+                           mode="drop", unique_indices=True)
     return out.reshape(b, stride)[:, :p1]
 
 
@@ -926,11 +979,15 @@ def _y_automaton_runs_chunked_batch(syms, vals, rles, sel1, sel2,
 
 
 def _chain_batch_scan(streams: list, s_max: int):
-    """One gather-free chain launch for the whole batch
-    (ops.entropy_chain_scan): words padded to a common bucket, the
-    per-stream zone mode a traced vector."""
-    from nhwcodec_tpu.ops import entropy_chain_scan as ecs
+    """One chain-extraction launch for the whole batch: words padded to
+    a common bucket, the per-stream zone mode a traced vector.
 
+    Backend dispatch: the gather-free segment-cascade formulation
+    (ops.entropy_chain_scan) on accelerators — it is the fast path on
+    TPU but its op-heavy graph takes tens of minutes to compile on
+    XLA:CPU at real shapes — and the peek-LUT + pointer-doubling
+    formulation on the CPU backend (gathers are cheap there and it
+    compiles in seconds).  Both are bit-equal (tests)."""
     nw = 1 << max(7, int(max(s.packet1.size for s in streams)
                          ).bit_length())
     wordsB = np.zeros((len(streams), nw), np.uint32)
@@ -939,9 +996,8 @@ def _chain_batch_scan(streams: list, s_max: int):
     nbits = np.asarray([s.packet1.size * 32 for s in streams], np.int32)
     zone = np.asarray([1 if s.res_high < 4 else 0 for s in streams],
                       np.int32)
-    return ecs.chain_starts_batch(jnp.asarray(wordsB),
-                                  jnp.asarray(nbits),
-                                  jnp.asarray(zone), s_max)
+    return _chain_dispatch(jnp.asarray(wordsB), jnp.asarray(nbits),
+                           jnp.asarray(zone), s_max)
 
 
 def decode_y_device_batch(streams: list, p1: int = 4 * T.IM_SIZE,
@@ -975,22 +1031,6 @@ def decode_y_device_batch(streams: list, p1: int = 4 * T.IM_SIZE,
 
     symB_full, countB = _chain_batch_scan(streams, s_max)
 
-    books, sels1, sels2, run_refs = [], [], [], []
-    for i, s in enumerate(streams):
-        book = entropy.build_y_book(s.tree1)
-        vd, _ = _book_device(book[0], book[1])
-        run_refs.append(_run_count(symB_full[i], vd, countB[i]))
-        books.append(book)
-        sels1.append(np.unpackbits(np.ascontiguousarray(
-            s.select_word1, np.uint8)))
-        sels2.append(np.unpackbits(np.ascontiguousarray(
-            s.select_word2, np.uint8)))
-    cr = np.asarray(jnp.stack([countB, jnp.stack(run_refs)]))
-    counts, runs = cr[0], cr[1]
-    s_trim = int(min(max(64, counts.max() + 1), s_max))
-    s_trim = 1 << (s_trim - 1).bit_length()
-    r_max = 1 << max(4, int(max(runs.max(), 1) - 1).bit_length())
-
     def pad_rows(rows, fill=0):
         n = 1 << max(6, (max(len(r) for r in rows) - 1).bit_length())
         out = np.full((len(rows), n), fill, np.int32)
@@ -998,9 +1038,23 @@ def decode_y_device_batch(streams: list, p1: int = 4 * T.IM_SIZE,
             out[i, :len(r)] = r
         return jnp.asarray(out)
 
-    symB = symB_full[:, :s_trim]
+    books = [entropy.build_y_book(s.tree1) for s in streams]
+    sels1 = [np.unpackbits(np.ascontiguousarray(s.select_word1, np.uint8))
+             for s in streams]
+    sels2 = [np.unpackbits(np.ascontiguousarray(s.select_word2, np.uint8))
+             for s in streams]
     vB = pad_rows([b[0] for b in books])
     rB = pad_rows([b[1] for b in books])
+    # one launch for every stream's run count (a per-stream loop costs
+    # 2 dispatches per stream over the remote tunnel)
+    runsB = _run_count_batch(symB_full, vB, countB)
+    cr = np.asarray(jnp.stack([countB, runsB]))
+    counts, runs = cr[0], cr[1]
+    s_trim = int(min(max(64, counts.max() + 1), s_max))
+    s_trim = 1 << (s_trim - 1).bit_length()
+    r_max = 1 << max(4, int(max(runs.max(), 1) - 1).bit_length())
+
+    symB = symB_full[:, :s_trim]
     s1B = pad_rows(sels1)
     s2B = pad_rows(sels2)
     if automaton == "chunked":
@@ -1021,14 +1075,12 @@ def decode_uv_device(packet2: np.ndarray, tree2: np.ndarray,
     entropy.decode_uv.  Fully parallel (no scan)."""
     from nhwcodec_tpu.ops import entropy
 
-    from nhwcodec_tpu.ops import entropy_chain_scan as ecs
-
     vals, rles = entropy.build_uv_book(tree2, tree_end)
     vd, rd = _book_device(vals, rles)
     words, nbits = _words_device(packet2)
     s_max = min(p1 + 1, max(64, nbits // 2 + 2))
     s_max = 1 << (s_max - 1).bit_length()
-    syms, _ = ecs.chain_starts_batch(
+    syms, _ = _chain_dispatch(
         words[None], jnp.asarray([nbits], jnp.int32),
         jnp.zeros(1, jnp.int32), s_max)
     return np.asarray(_uv_scatter(syms[0], vd, rd, p1))

@@ -49,6 +49,34 @@ def _ensure_live_backend() -> None:
 
 _ensure_live_backend()
 
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache for the suite: the device-path
+    programs (chain extraction, chunked fixpoint, device decode) cost
+    minutes to compile on XLA:CPU at real shapes; cached they replay in
+    milliseconds on every later run."""
+    # env form too, so subprocess-based tests inherit the cache
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          str(REPO / ".jax_cache"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES",
+                          "-1")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+                          "1")
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          str(REPO / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1)
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        pass
+
+
+_enable_compile_cache()
+
 import oracle  # noqa: E402
 from nhwcodec_tpu.utils import bmp, fixtures  # noqa: E402
 
