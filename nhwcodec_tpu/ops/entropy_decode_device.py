@@ -118,6 +118,33 @@ def _y_word_tables() -> tuple[np.ndarray, ...]:
 
 
 @functools.lru_cache(maxsize=1)
+def _y_word_tables_packed() -> np.ndarray:
+    """The five per-word tables packed into ONE int32 LUT so the hot
+    (B, s_len) per-symbol resolution costs one gather instead of five
+    (gathers dominate the xs-prep phase on TPU).  Layout: val1+2048 in
+    bits 0..11 (val1 spans [-275, 1011]), val2 code in 12..13
+    (0 -> 0, 1 -> +11, 2 -> -11), has2 bit 14, adv==5 bit 15, mem2
+    bit 16."""
+    val1, val2, has2, adv, mem2 = _y_word_tables()
+    assert val1.min() >= -2048 and val1.max() < 2048
+    v2code = np.where(val2 == 0, 0, np.where(val2 > 0, 1, 2))
+    return ((val1 + 2048) | (v2code << 12) | (has2 << 14)
+            | ((adv == 5).astype(np.int32) << 15)
+            | (mem2 << 16)).astype(np.int32)
+
+
+def _unpack_word_fields(pk):
+    """Inverse of _y_word_tables_packed, elementwise on device."""
+    wv1 = (pk & 0xFFF) - 2048
+    v2c = (pk >> 12) & 3
+    wv2 = jnp.where(v2c == 1, 11, jnp.where(v2c == 2, -11, 0))
+    whas2 = (pk >> 14) & 1
+    wadv = jnp.where(((pk >> 15) & 1) == 1, 5, 1)
+    wmem2 = (pk >> 16) & 1
+    return wv1, wv2, whas2, wadv, wmem2
+
+
+@functools.lru_cache(maxsize=1)
 def _uv_word_table() -> np.ndarray:
     """UV non-run value per word (decoder/compress_pixel.c:575-637)."""
     val = np.zeros(256, np.int32)
@@ -204,6 +231,18 @@ def _codeword_chain_words(words, nbits, s_max: int, zone_on: bool):
         words[None], jnp.asarray([nbits], jnp.int32),
         jnp.asarray([1 if zone_on else 0], jnp.int32), s_max)
     return syms[0], count[0]
+
+
+def _bucket(n: int, lo: int = 64) -> int:
+    """Smallest quarter-octave bucket >= n, a multiple of 64: bounds
+    the number of compiled shape classes (<= 4 per octave) while
+    capping padding waste at 25% — pow2 bucketing wasted up to 2x
+    (e.g. 77,659 runs -> 131,072; now 81,920)."""
+    if n <= lo:
+        return lo
+    k = (n - 1).bit_length() - 3   # octave base 2^(k+2); quarter = 2^k
+    step = max(1 << k, 64)         # multiple of 64: k_chunks divides
+    return ((n + step - 1) // step) * step
 
 
 def _chain_dispatch(words2d, nbits, zone, s_max: int):
@@ -754,25 +793,25 @@ def _y_automaton_runs_batch(syms, vals, rles, sel1, sel2, p1: int,
 
 @jax.jit
 def _runs_xs_words(syms, vals, rles):
-    """Per-symbol static tables + prefixes (flat 1-D gathers only)."""
+    """Per-symbol static tables + prefixes.  TWO gathers total on the
+    (B, s_len) hot shape: the per-stream book entries are packed as
+    word | rle<<10 on the fly (one elementwise op on the tiny (B, nv)
+    book), and the five static word tables ride one packed LUT
+    (_y_word_tables_packed) — gathers dominated this phase at 7 per
+    symbol."""
     b, s_len = syms.shape
     nv = vals.shape[1]
-    val1_t, val2_t, has2_t, adv_t, mem2_t = (jnp.asarray(a)
-                                             for a in _y_word_tables())
-
-    def g1(table, idx):
-        return table[idx.reshape(-1)].reshape(idx.shape)
+    pk_t = jnp.asarray(_y_word_tables_packed())
 
     rowV = (jnp.arange(b, dtype=jnp.int32) * nv)[:, None]
     sym_c = jnp.minimum(syms, nv - 1)
-    word = vals.reshape(-1)[(sym_c + rowV).reshape(-1)].reshape(b, s_len)
-    rle_x = rles.reshape(-1)[(sym_c + rowV).reshape(-1)].reshape(b, s_len)
+    vr = (vals | (rles << 10)).reshape(-1)[
+        (sym_c + rowV).reshape(-1)].reshape(b, s_len)
+    word = vr & 1023
+    rle_x = vr >> 10
     is_run = word == 0x80
-    wv1 = g1(val1_t, word)
-    wv2 = g1(val2_t, word)
-    whas2 = g1(has2_t, word)
-    wadv = g1(adv_t, word)
-    wmem2 = g1(mem2_t, word)
+    pk = pk_t[word.reshape(-1)].reshape(b, s_len)
+    wv1, wv2, whas2, wadv, wmem2 = _unpack_word_fields(pk)
 
     adv_static = jnp.where(is_run, rle_x, wadv)
     base_e = jnp.cumsum(adv_static, axis=1) - adv_static
@@ -808,7 +847,10 @@ def _runs_seg_scan(is_run, wadv):
 def _runs_extract(rle_x, is_run, wmem2, base_e, runs_before,
                   seg_mask_all, seg_cnt_all, p1: int, r_max: int,
                   k: int):
-    """Per-run input tuples via rank scatter + flat 1-D gathers."""
+    """Per-run input tuples via rank scatter + flat 1-D gathers.  The
+    six per-run gathers collapse to three (base_e@ri plus one packed
+    word per index set): rle 8b | is_run bit 8 | mem2 bit 9 |
+    seg_mask 10..14 | seg_cnt 15..17."""
     b, s_len = rle_x.shape
     rowR = (jnp.arange(b, dtype=jnp.int32) * (r_max + 1))[:, None]
     sidx = jnp.broadcast_to(
@@ -829,16 +871,22 @@ def _runs_extract(rle_x, is_run, wmem2, base_e, runs_before,
     def gr(a, idx):
         return a.reshape(-1)[(idx + rowS).reshape(-1)].reshape(b, r_max)
 
-    rle_r = jnp.where(vld, gr(rle_x, ri), 0)
-    e_base_r = jnp.where(vld, gr(base_e, ri), jnp.int32(p1 + (1 << 20)))
+    packed = (rle_x | (is_run.astype(jnp.int32) << 8) | (wmem2 << 9)
+              | (seg_mask_all << 10)
+              | (jnp.minimum(seg_cnt_all, 5) << 15))
+    pk_ri = gr(packed, ri)
     prev = jnp.maximum(ri - 1, 0)
+    pk_prev = gr(packed, prev)
+
+    rle_r = jnp.where(vld, pk_ri & 0xFF, 0)
+    e_base_r = jnp.where(vld, gr(base_e, ri), jnp.int32(p1 + (1 << 20)))
     has_prev = (run_idx > 0) & vld
-    segm = jnp.where(has_prev, gr(seg_mask_all, prev), 0)
-    segc = jnp.where(has_prev, jnp.minimum(gr(seg_cnt_all, prev), 5), 0)
-    prev_is_run = gr(is_run, prev)
+    segm = jnp.where(has_prev, (pk_prev >> 10) & 31, 0)
+    segc = jnp.where(has_prev, (pk_prev >> 15) & 7, 0)
+    prev_is_run = ((pk_prev >> 8) & 1) == 1
     prev_run = has_prev & prev_is_run
     prev_lit_mem2 = jnp.where(has_prev & ~prev_is_run,
-                              gr(wmem2, prev), 0)
+                              (pk_prev >> 9) & 1, 0)
 
     xs = (rle_r, e_base_r, segm, segc, prev_run, prev_lit_mem2, vld)
     length = r_max // k
@@ -1050,9 +1098,10 @@ def decode_y_device_batch(streams: list, p1: int = 4 * T.IM_SIZE,
     runsB = _run_count_batch(symB_full, vB, countB)
     cr = np.asarray(jnp.stack([countB, runsB]))
     counts, runs = cr[0], cr[1]
-    s_trim = int(min(max(64, counts.max() + 1), s_max))
-    s_trim = 1 << (s_trim - 1).bit_length()
-    r_max = 1 << max(4, int(max(runs.max(), 1) - 1).bit_length())
+    # quarter-octave shape buckets (<=25% padding vs pow2's 2x; at most
+    # 4 compiled shape classes per octave)
+    s_trim = min(_bucket(int(counts.max()) + 1), s_max)
+    r_max = _bucket(int(max(runs.max(), 1)))
 
     symB = symB_full[:, :s_trim]
     s1B = pad_rows(sels1)

@@ -97,6 +97,17 @@ for mode in ('runs', 'chunked'):
         want = entropy.decode_y(s.packet1, s.tree1, s.select_word1,
                                 s.select_word2, s.res_high)
         np.testing.assert_array_equal(got, want)
+
+# identical-rows invariance: every row of a [s, s, s] batch must decode
+# the same (an XLA:TPU flat-gather lowering decoded rows >= 1 of the
+# fused emit differently until the take_along_axis fix — this is the
+# minimal repro shape; same jit shapes as above, so no extra compile)
+s0 = streams[0]
+want0 = entropy.decode_y(s0.packet1, s0.tree1, s0.select_word1,
+                         s0.select_word2, s0.res_high)
+outs = edd.decode_y_device_batch([s0, s0], automaton='chunked')
+for got in outs:
+    np.testing.assert_array_equal(got, want0, err_msg='identical rows')
 print("OK")
 """
 
