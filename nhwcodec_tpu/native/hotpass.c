@@ -304,14 +304,23 @@ void nhw_offset_y(int16_t *pf, int quality, int m1, int low4)
      * superset and skips the (typically sparse) quiet majority. */
     /* thread-local scratch: the chunk pipeline runs these scans from
      * worker threads, so plain function-static buffers would race */
-    static __thread uint8_t gt[4 * SZ + 1];
+    static __thread uint8_t gt[4 * SZ + 8];
     for (i = 0; i < 4 * SZ; i++)
         gt[i] = pf[i] > 7;
-    gt[4 * SZ] = 0;
-    for (i = 0; i < 4 * SZ; i++) {
-        if (!(gt[i] & gt[i + 1])) continue;
-        if (!(i >= 2 * SZ || (i & 511) >= D)) continue;
-        if ((i & 511) >= 2 * D - 1) continue;
+    memset(gt + 4 * SZ, 0, 8);
+    for (i = 0; i < 4 * SZ; ) {
+        /* word-skip: the pass only ever decrements, so the pre-pass
+         * gt[] mask stays a superset of live candidates — 8 zero
+         * pair-ANDs mean 8 skippable positions in one load */
+        if (!(i & 7)) {
+            uint64_t w1, w2;
+            memcpy(&w1, gt + i, 8);
+            memcpy(&w2, gt + i + 1, 8);
+            if (!(w1 & w2)) { i += 8; continue; }
+        }
+        if (!(gt[i] & gt[i + 1])) { i++; continue; }
+        if (!(i >= 2 * SZ || (i & 511) >= D)) { i++; continue; }
+        if ((i & 511) >= 2 * D - 1) { i++; continue; }
         int a = pf[i];
         if (a > 7 && pf[i + 1] > 7) {
             if (!(a & 7) && !(pf[i + 1] & 7)) {
@@ -329,14 +338,33 @@ void nhw_offset_y(int16_t *pf, int quality, int m1, int low4)
                 }
             }
         }
+        i++;
     }
 
-    /* passes 2 + 3: pair promotions, q>LOW4 */
+    /* passes 2 + 3: pair promotions, q>LOW4.  Prescreen: any action
+     * requires BOTH pf[a0] and pf[a0-1] (pass 2) / pf[a0+1] (pass 3)
+     * inside small magnitude windows; the passes only write sentinel
+     * values >10000 (never inside those windows), so a pre-pass
+     * candidate mask is a stable superset and 8 positions skip on one
+     * zero word. */
     if (!low4) {
         long r, j;
+        static __thread uint8_t cnd[D + 8];
         for (r = 0; r < D; r++) {
             long base = r * N;
-            for (j = 1; j < D - 1; j++) {
+            for (j = 0; j < D; j++) {
+                int v = pf[base + j];
+                cnd[j] = (v > 3 && v < 8) | (v < -3 && v > -8);
+            }
+            memset(cnd + D, 0, 8);
+            for (j = 1; j < D - 1; ) {
+                if (!(j & 7)) {
+                    uint64_t w1, w2;
+                    memcpy(&w1, cnd + j, 8);
+                    memcpy(&w2, cnd + j - 1, 8);
+                    if (!(w1 & w2)) { j += 8; continue; }
+                }
+                if (!(cnd[j] & cnd[j - 1])) { j++; continue; }
                 long a0 = base + j;
                 int v = pf[a0];
                 if (v > 3 && v < 8) {
@@ -360,11 +388,25 @@ void nhw_offset_y(int16_t *pf, int quality, int m1, int low4)
                         }
                     }
                 }
+                j++;
             }
         }
+        /* pass 3: same prescreen, windows |v| in [5,7] at j and j+1 */
         for (r = 0; r < D; r++) {
             long base = r * N;
-            for (j = 0; j < D - 1; j++) {
+            for (j = 0; j < D; j++) {
+                int v = pf[base + j];
+                cnd[j] = (v >= 5 && v <= 7) | (v <= -5 && v >= -7);
+            }
+            memset(cnd + D, 0, 8);
+            for (j = 0; j < D - 1; ) {
+                if (!(j & 7)) {
+                    uint64_t w1, w2;
+                    memcpy(&w1, cnd + j, 8);
+                    memcpy(&w2, cnd + j + 1, 8);
+                    if (!(w1 & w2)) { j += 8; continue; }
+                }
+                if (!(cnd[j] & cnd[j + 1])) { j++; continue; }
                 long a0 = base + j;
                 int v = pf[a0], w = pf[a0+1];
                 if (v >= 5 && v <= 7 && w >= 5 && w <= 7) {
@@ -372,6 +414,7 @@ void nhw_offset_y(int16_t *pf, int quality, int m1, int low4)
                 } else if (v <= -5 && v >= -7 && w <= -5 && w >= -7) {
                     pf[a0] = 10204; j += 1;
                 }
+                j++;
             }
         }
     }
