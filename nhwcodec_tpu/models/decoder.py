@@ -358,16 +358,20 @@ def _apply_pairs(flat: np.ndarray, idx: np.ndarray,
         np.add.at(flat, idx, delta)
 
 
-def decode_y_front(s: NHWStreams, res_comp: np.ndarray):
+def decode_y_front(s: NHWStreams, res_comp: np.ndarray, sym=None):
     """Host front of the Y decode: entropy decode, de-serpentine,
     positional stream unpack, sentinel expansion, LL2 placement, res4
     parity, exw escapes, isolated smoothing
     (decoder/nhw_decoder.c:54-711).  Returns (coefficient plane
     (512*512,) int16, transform-domain scatter pair, HQ scatter pair) —
-    everything the synthesis back end (host or device) consumes."""
+    everything the synthesis back end (host or device) consumes.
+    ``sym``: optional pre-decoded Y symbol plane (e.g. from
+    ops.entropy_decode_device.decode_y_device_batch — bit-equal to the
+    host automaton); None runs the host C decode."""
     q = s.quality
-    sym = entropy.decode_y(s.packet1, s.tree1, s.select_word1,
-                           s.select_word2, s.res_high)
+    if sym is None:
+        sym = entropy.decode_y(s.packet1, s.tree1, s.select_word1,
+                               s.select_word2, s.res_high)
     jpeg = geometry.deserpentine_y(sym).reshape(-1).astype(np.int16)
 
     # positional stream pre-processing (decoder/nhw_decoder.c:93-491)

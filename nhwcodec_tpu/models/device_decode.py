@@ -212,10 +212,19 @@ def pad_marks(marks_list) -> tuple[np.ndarray, np.ndarray]:
     return recs, valid
 
 
-def decode_batch_device(datas, fused=None) -> list[np.ndarray]:
+def decode_batch_device(datas, fused=None,
+                        entropy_on_device: bool = False
+                        ) -> list[np.ndarray]:
     """Batched bit-exact decode with the synthesis back end on device:
     .nhw byte strings -> (512,512,3) uint8 RGB arrays, byte-identical to
-    models.decoder.decode (tests/test_device_decode.py)."""
+    models.decoder.decode (tests/test_device_decode.py).
+
+    ``entropy_on_device``: run the Huffman unpackers on the chip too
+    (ops.entropy_decode_device — one batched launch for all Y streams,
+    the fully-parallel scatter for UV) instead of the host C automata;
+    output is bit-identical either way.  Off by default here: over
+    this sandbox's tunnel the result download alone exceeds the host
+    automaton's cost; co-located it is the full-device decode path."""
     from nhwcodec_tpu.models import decoder as dec
     from nhwcodec_tpu.ops import dc_plane, entropy
     from nhwcodec_tpu.utils.container import parse_nhw
@@ -223,18 +232,29 @@ def decode_batch_device(datas, fused=None) -> list[np.ndarray]:
     fused = _resolve_fused(fused)
 
     b = len(datas)
+    parsed = [parse_nhw(data) for data in datas]
+    sym_ys: list = [None] * b
+    if entropy_on_device:
+        from nhwcodec_tpu.ops import entropy_decode_device as edd
+
+        sym_ys = edd.decode_y_device_batch(parsed)
+
     ys, scats, hqs = [], [], []
     us, vs, quals = [], [], []
-    for data in datas:
-        s = parse_nhw(data)
+    for i, s in enumerate(parsed):
         res_comp = dc_plane.decode_dc_planes(
             s.res_ch, s.highres_comp, s.res_U_64, s.res_V_64,
             s.quality, s.res_high)
-        jpeg, scat, hq = dec.decode_y_front(s, res_comp)
+        jpeg, scat, hq = dec.decode_y_front(s, res_comp, sym=sym_ys[i])
         ys.append(jpeg.reshape(N, N))
         scats.append(scat)
         hqs.append(hq)
-        sym_uv = entropy.decode_uv(s.packet2, s.tree2, s.tree_end)
+        if entropy_on_device:
+            from nhwcodec_tpu.ops import entropy_decode_device as edd
+
+            sym_uv = edd.decode_uv_device(s.packet2, s.tree2, s.tree_end)
+        else:
+            sym_uv = entropy.decode_uv(s.packet2, s.tree2, s.tree_end)
         exw1 = dec._y_exw_end(s)
         ju, exw1 = dec.decode_uv_front(s, res_comp, sym_uv, 0, exw1 + 2)
         jv, _ = dec.decode_uv_front(s, res_comp, sym_uv, 1, exw1 + 2)

@@ -167,11 +167,13 @@ def encode_batch_device(images: np.ndarray, quality: int = 20,
     return out, m
 
 
-def _decode_chunk_device(datas: list, out: list, idxs: list[int]) -> int:
+def _decode_chunk_device(datas: list, out: list, idxs: list[int],
+                         entropy_on_device: bool = False) -> int:
     from nhwcodec_tpu.models import device_decode as dd
 
     try:
-        rgbs = dd.decode_batch_device(datas)
+        rgbs = dd.decode_batch_device(
+            datas, entropy_on_device=entropy_on_device)
         for k, i in enumerate(idxs):
             out[i] = rgbs[k]
         return 0
@@ -179,20 +181,25 @@ def _decode_chunk_device(datas: list, out: list, idxs: list[int]) -> int:
         failures = 0
         for k, i in enumerate(idxs):
             try:
-                out[i] = dd.decode_batch_device([datas[k]])[0]
+                out[i] = dd.decode_batch_device(
+                    [datas[k]], entropy_on_device=entropy_on_device)[0]
             except Exception:  # noqa: BLE001
                 failures += 1
         return failures
 
 
 def decode_batch_device(datas: list, workers: int | None = None,
-                        chunk: int | None = None
+                        chunk: int | None = None,
+                        entropy_on_device: bool = False
                         ) -> tuple[list, BatchMetrics]:
     """Decode a list of .nhw byte strings with the synthesis back end +
     colorspace on device (models.device_decode) and the sequential
     automata on a host thread pool, chunk-overlapped like the encode
     pipeline.  Returns (RGB arrays in submission order — None for
-    failures — and metrics); byte-identical to the host decoder."""
+    failures — and metrics); byte-identical to the host decoder.
+    ``entropy_on_device=True`` additionally runs the Huffman unpackers
+    on the chip (see models.device_decode.decode_batch_device) — the
+    full-device decode configuration for co-located deployments."""
     import jax
 
     jax.devices()  # thread-safe backend init (see encode_batch_device)
@@ -211,10 +218,12 @@ def decode_batch_device(datas: list, workers: int | None = None,
 
     if n_workers == 1 or len(jobs) == 1:
         for ds_, idxs in jobs:
-            m.failures += _decode_chunk_device(ds_, out, idxs)
+            m.failures += _decode_chunk_device(ds_, out, idxs,
+                                               entropy_on_device)
     else:
         with ThreadPoolExecutor(max_workers=n_workers) as ex:
-            futs = [ex.submit(_decode_chunk_device, ds_, out, idxs)
+            futs = [ex.submit(_decode_chunk_device, ds_, out, idxs,
+                              entropy_on_device)
                     for ds_, idxs in jobs]
             for f in futs:
                 m.failures += f.result()

@@ -46,6 +46,17 @@ def test_decode_batch_device_pipeline():
         np.testing.assert_array_equal(rgb, decoder.decode(d))
 
 
+def test_decode_batch_device_entropy_on_device():
+    # the full-device decode configuration: Huffman unpackers on the
+    # chip too (ops.entropy_decode_device), bit-identical output
+    datas = _streams([20, 20])
+    want = [decoder.decode(d) for d in datas]
+    got = device_decode.decode_batch_device(datas,
+                                            entropy_on_device=True)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g)
+
+
 def test_decode_batch_device_pipeline_failure_isolation():
     from nhwcodec_tpu.parallel import device_pipeline as dp
 
