@@ -220,8 +220,8 @@ def decode_batch_device(datas, fused=None,
     models.decoder.decode (tests/test_device_decode.py).
 
     ``entropy_on_device``: run the Huffman unpackers on the chip too
-    (ops.entropy_decode_device — one batched launch for all Y streams,
-    the fully-parallel scatter for UV) instead of the host C automata;
+    (ops.entropy_decode_device — one batched launch pipeline each for
+    the Y streams and the UV streams) instead of the host C automata;
     output is bit-identical either way.  Off by default here: over
     this sandbox's tunnel the result download alone exceeds the host
     automaton's cost; co-located it is the full-device decode path."""
@@ -234,10 +234,12 @@ def decode_batch_device(datas, fused=None,
     b = len(datas)
     parsed = [parse_nhw(data) for data in datas]
     sym_ys: list = [None] * b
+    sym_uvs: list = [None] * b
     if entropy_on_device:
         from nhwcodec_tpu.ops import entropy_decode_device as edd
 
         sym_ys = edd.decode_y_device_batch(parsed)
+        sym_uvs = edd.decode_uv_device_batch(parsed)
 
     ys, scats, hqs = [], [], []
     us, vs, quals = [], [], []
@@ -249,12 +251,8 @@ def decode_batch_device(datas, fused=None,
         ys.append(jpeg.reshape(N, N))
         scats.append(scat)
         hqs.append(hq)
-        if entropy_on_device:
-            from nhwcodec_tpu.ops import entropy_decode_device as edd
-
-            sym_uv = edd.decode_uv_device(s.packet2, s.tree2, s.tree_end)
-        else:
-            sym_uv = entropy.decode_uv(s.packet2, s.tree2, s.tree_end)
+        sym_uv = (sym_uvs[i] if entropy_on_device
+                  else entropy.decode_uv(s.packet2, s.tree2, s.tree_end))
         exw1 = dec._y_exw_end(s)
         ju, exw1 = dec.decode_uv_front(s, res_comp, sym_uv, 0, exw1 + 2)
         jv, _ = dec.decode_uv_front(s, res_comp, sym_uv, 1, exw1 + 2)

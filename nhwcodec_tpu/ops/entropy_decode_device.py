@@ -1133,3 +1133,65 @@ def decode_uv_device(packet2: np.ndarray, tree2: np.ndarray,
         words[None], jnp.asarray([nbits], jnp.int32),
         jnp.zeros(1, jnp.int32), s_max)
     return np.asarray(_uv_scatter(syms[0], vd, rd, p1))
+
+
+@functools.partial(jax.jit, static_argnames=("p1",))
+def _uv_scatter_batch(syms, vals, rles, p1: int):
+    """Batched _uv_scatter: per-row book resolution via take_along_axis
+    (the flat row-offset gather form miscompiles on XLA:TPU in fused
+    programs — see _runs_emit_batch) and one unique-index scatter."""
+    b, s_len = syms.shape
+    nv = vals.shape[1]
+    val_t = jnp.asarray(_uv_word_table())
+    sym_c = jnp.clip(syms, 0, nv - 1)
+    vr = jnp.take_along_axis(vals | (rles << 10), sym_c, axis=1)
+    word = vr & 1023
+    rle = vr >> 10
+    is_run = word == 0x80
+    adv = jnp.where(is_run, rle, 1)
+    e_start = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32),
+         jnp.cumsum(adv, axis=1)[:, :-1]], axis=1)
+    live = (e_start < p1 - 1) & (~is_run)
+    stride = p1 + 512
+    total = b * stride
+    rowO = (jnp.arange(b, dtype=jnp.int32) * stride)[:, None]
+    seqS = jnp.arange(b * s_len, dtype=jnp.int32).reshape(b, s_len)
+    idx = jnp.where(live, e_start + rowO, total + seqS).reshape(-1)
+    vv = val_t[word.reshape(-1)].astype(jnp.int16)
+    out = jnp.zeros(total, jnp.int16)
+    out = out.at[idx].set(vv, mode="drop", unique_indices=True)
+    return out.reshape(b, stride)[:, : 2 * T.IM_SIZE]
+
+
+def decode_uv_device_batch(streams: list,
+                           p1: int = 2 * T.IM_SIZE - 1
+                           ) -> list[np.ndarray]:
+    """Batched UV symbol-plane decode for parsed NHWStreams — one chain
+    launch + one scatter launch for the whole batch; bit-exact vs
+    entropy.decode_uv per stream."""
+    from nhwcodec_tpu.ops import entropy
+
+    nw = 1 << max(7, int(max(s.packet2.size for s in streams)
+                         ).bit_length())
+    wordsB = np.zeros((len(streams), nw), np.uint32)
+    for i, s in enumerate(streams):
+        wordsB[i, :s.packet2.size] = s.packet2
+    nbits = np.asarray([s.packet2.size * 32 for s in streams], np.int32)
+    s_max = min(p1 + 1, max(64, int(nbits.max()) // 2 + 2))
+    s_max = 1 << (s_max - 1).bit_length()
+    syms, _ = _chain_dispatch(jnp.asarray(wordsB), jnp.asarray(nbits),
+                              jnp.zeros(len(streams), jnp.int32), s_max)
+
+    def pad_rows(rows, fill=0):
+        n = 1 << max(6, (max(len(r) for r in rows) - 1).bit_length())
+        out = np.full((len(rows), n), fill, np.int32)
+        for i, r in enumerate(rows):
+            out[i, :len(r)] = r
+        return jnp.asarray(out)
+
+    books = [entropy.build_uv_book(s.tree2, s.tree_end) for s in streams]
+    vB = pad_rows([bk[0] for bk in books])
+    rB = pad_rows([bk[1] for bk in books])
+    res = np.asarray(_uv_scatter_batch(syms, vB, rB, p1))
+    return [res[i] for i in range(len(streams))]

@@ -98,6 +98,12 @@ for mode in ('runs', 'chunked'):
                                 s.select_word2, s.res_high)
         np.testing.assert_array_equal(got, want)
 
+# batched UV decode: one chain + one scatter launch for the batch
+uv_want = [entropy.decode_uv(s.packet2, s.tree2, s.tree_end)
+           for s in streams]
+for got, want in zip(edd.decode_uv_device_batch(streams), uv_want):
+    np.testing.assert_array_equal(got, want, err_msg='uv batch')
+
 # identical-rows invariance: every row of a [s, s, s] batch must decode
 # the same (an XLA:TPU flat-gather lowering decoded rows >= 1 of the
 # fused emit differently until the take_along_axis fix — this is the
