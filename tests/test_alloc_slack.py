@@ -88,3 +88,23 @@ def test_first_order_plane_placement_closes_w26_cases(cases, q):
                                       ref)
     finally:
         encoder._V_TAIL_OVERRIDE = None
+
+
+def test_fourth_placement_closes_wave49_case(cases):
+    """Fourth observed placement (wave 49): the V chunk's one-past read
+    aliases the freed U byte plane at offset 37152 — a different split
+    of the freed slot than the 32768/36864 seats.  The dV_res256oob
+    dump of the instrumented build shows the read region as U-plane
+    texture bytes; seating the emulated slack there reproduces the
+    plain deterministic reference byte-for-byte at q21/q22/q23 (the
+    classifier's windowed probe covers the whole traced window)."""
+    imgs, refs = cases
+    ref = refs["w49i6_q22"]
+    assert not equal_modulo_dead_bits(encoder.encode(imgs["w49i6"], 22),
+                                      ref)
+    try:
+        encoder._V_OFF_OVERRIDE = 37152
+        assert equal_modulo_dead_bits(encoder.encode(imgs["w49i6"], 22),
+                                      ref)
+    finally:
+        encoder._V_OFF_OVERRIDE = None
