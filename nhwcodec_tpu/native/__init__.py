@@ -167,6 +167,14 @@ def _compile_pgo(src: str, build_dir: Path, stem: str,
             p.unlink()
         for p in build_dir.glob(f"nhwcodec_tpu/native/{stem}*.so"):
             p.unlink()
+        # stale profiles from a previous build of different source:
+        # gcc would merge mismatched counters (masked by
+        # -fprofile-correction), and a leftover .gcda would satisfy the
+        # 'training produced a profile' check below even if this run's
+        # training wrote nothing
+        for pat in ("*.gcda", "*.gcno"):
+            for p in build_dir.rglob(pat):
+                p.unlink()
 
     def compile_stage(extra_compile, extra_link):
         # cffi forbids re-calling set_source on one FFI: fresh per stage

@@ -467,6 +467,23 @@ def _book_device(vals: list, rles: list) -> tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.asarray(v), jnp.asarray(r)
 
 
+def _check_book(vals: list, rles: list, kind: str) -> None:
+    """Host-side stream-invariant validation before device dispatch.
+
+    The emit scatters promise ``unique_indices=True``, which is sound
+    only because every decoded symbol advances the output cursor by
+    >= 1 (literals advance 1 or 5, runs advance their rle) — so all
+    scatter positions are provably distinct.  A malformed .nhw whose
+    codebook carries a run word with rle == 0 would break that promise
+    and turn bounded-wrong decode into fully undefined scatter results
+    on TPU; reject it here.  Valid encoder output never emits rle < 1
+    (encoder/compress_pixel.c:280-361 counts runs from 1)."""
+    if any(r < 1 for r in rles):
+        raise ValueError(
+            f"malformed .nhw: {kind} codebook contains a run word with "
+            "rle < 1 (device decode requires cursor-advancing symbols)")
+
+
 def decode_y_device(packet1: np.ndarray, tree1: np.ndarray,
                     select_word1: np.ndarray, select_word2: np.ndarray,
                     res_high: int, p1: int = 4 * T.IM_SIZE,
@@ -482,6 +499,7 @@ def decode_y_device(packet1: np.ndarray, tree1: np.ndarray,
     from nhwcodec_tpu.ops import entropy
 
     vals, rles = entropy.build_y_book(tree1)
+    _check_book(vals, rles, "Y")
     vd, rd = _book_device(vals, rles)
     words, nbits = _words_device(packet1)
     s_max = min(p1, max(64, nbits // 2 + 2))
@@ -1087,6 +1105,8 @@ def decode_y_device_batch(streams: list, p1: int = 4 * T.IM_SIZE,
         return jnp.asarray(out)
 
     books = [entropy.build_y_book(s.tree1) for s in streams]
+    for bk in books:
+        _check_book(bk[0], bk[1], "Y")
     sels1 = [np.unpackbits(np.ascontiguousarray(s.select_word1, np.uint8))
              for s in streams]
     sels2 = [np.unpackbits(np.ascontiguousarray(s.select_word2, np.uint8))
@@ -1125,6 +1145,7 @@ def decode_uv_device(packet2: np.ndarray, tree2: np.ndarray,
     from nhwcodec_tpu.ops import entropy
 
     vals, rles = entropy.build_uv_book(tree2, tree_end)
+    _check_book(vals, rles, "UV")
     vd, rd = _book_device(vals, rles)
     words, nbits = _words_device(packet2)
     s_max = min(p1 + 1, max(64, nbits // 2 + 2))
@@ -1191,6 +1212,8 @@ def decode_uv_device_batch(streams: list,
         return jnp.asarray(out)
 
     books = [entropy.build_uv_book(s.tree2, s.tree_end) for s in streams]
+    for bk in books:
+        _check_book(bk[0], bk[1], "UV")
     vB = pad_rows([bk[0] for bk in books])
     rB = pad_rows([bk[1] for bk in books])
     res = np.asarray(_uv_scatter_batch(syms, vB, rB, p1))

@@ -109,11 +109,24 @@ _KERNEL_CACHE: dict[int, tuple] = {}
 _FINAL_KERNEL_CACHE: dict[int, tuple] = {}
 
 
+def _fingerprint(arr):
+    """64 strided samples of the plane — a cheap staleness probe for the
+    identity key: a caller that reuses the same ndarray object with new
+    contents between encodes (the contract forbids in-place mutation,
+    but lower-level entry points accept caller-owned planes) is caught
+    unless the mutation misses every sampled element."""
+    if isinstance(arr, np.ndarray) and arr.size:
+        flat = arr.reshape(-1)
+        return flat[:: max(1, flat.size // 64)].copy()
+    return None
+
+
 def _cache_get(cache: dict, arr: np.ndarray, quality: int):
     ent = cache.get(id(arr))
     if ent is not None:
-        wref, q0, val = ent
-        if q0 == quality and wref() is arr:
+        wref, q0, fp, val = ent
+        if (q0 == quality and wref() is arr
+                and (fp is None or np.array_equal(fp, _fingerprint(arr)))):
             return val
     return None
 
@@ -123,7 +136,7 @@ def _cache_put(cache: dict, arr: np.ndarray, quality: int, val) -> None:
 
     cache.clear()
     try:
-        cache[id(arr)] = (weakref.ref(arr), quality, val)
+        cache[id(arr)] = (weakref.ref(arr), quality, _fingerprint(arr), val)
     except TypeError:  # non-weakref-able input (plain lists in tests)
         pass
 
