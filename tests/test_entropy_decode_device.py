@@ -139,3 +139,66 @@ def test_peek_lut_matches_host_automaton():
 
 def test_device_decode_bit_exact_on_real_streams():
     _run(_STREAM_CODE)
+
+
+_FIXPOINT_CODE = """
+import numpy as np
+import jax.numpy as jnp
+from nhwcodec_tpu import tables as T
+from nhwcodec_tpu.models import encoder as enc_mod
+from nhwcodec_tpu.ops import entropy
+from nhwcodec_tpu.ops import entropy_decode_device as edd
+from nhwcodec_tpu.utils import container, fixtures
+
+# the chunk-relay fixpoint must converge in a handful of sweeps, not
+# one-chunk-per-sweep (the round-5 prefix relay + mem/run_over clips;
+# regression: sweeps == K was the deployed behavior before)
+b = 4
+streams = [container.parse_nhw(enc_mod.encode(g(), 20)) for g in
+           (fixtures.texture_noise, fixtures.gradient_circles,
+            fixtures.near_flat, fixtures.sharp_blocks)]
+p1 = 4 * T.IM_SIZE
+s_max = 1 << (min(p1, max(64, max(
+    s.packet1.size * 32 for s in streams) // 2 + 2)) - 1).bit_length()
+symB, countB = edd._chain_batch_scan(streams, s_max)
+books = [entropy.build_y_book(s.tree1) for s in streams]
+runs = [int(edd._run_count(symB[i], edd._book_device(*books[i])[0],
+                           countB[i])) for i in range(b)]
+s_trim = min(edd._bucket(int(np.asarray(countB).max()) + 1), s_max)
+r_max = edd._bucket(max(max(runs), 1))
+
+def pad_rows(rows):
+    n = 1 << max(6, (max(len(r) for r in rows) - 1).bit_length())
+    out = np.zeros((len(rows), n), np.int32)
+    for i, r in enumerate(rows):
+        out[i, :len(r)] = r
+    return jnp.asarray(out)
+
+vB = pad_rows([bk[0] for bk in books])
+rB = pad_rows([bk[1] for bk in books])
+k = 64 if r_max >= 64 else r_max
+xs_t, lits = edd._runs_xs_batch(symB[:, :s_trim], vB, rB, p1, r_max, k)
+ys, iters = edd._runs_fixpoint(xs_t, p1, k)
+assert int(iters) <= 10, f"fixpoint took {int(iters)} sweeps (K={k})"
+
+# the k+1 bound fallback: a non-converged fixpoint must route the batch
+# through the sequential runs automaton and still decode bit-exactly
+orig = edd._runs_fixpoint
+def fake_fixpoint(xs_t, p1, k):
+    ys, _ = orig(xs_t, p1, k)
+    return ys, jnp.int32(k + 1)
+edd._runs_fixpoint = fake_fixpoint
+try:
+    outs = edd.decode_y_device_batch(streams, automaton="chunked")
+finally:
+    edd._runs_fixpoint = orig
+for s, got in zip(streams, outs):
+    want = entropy.decode_y(s.packet1, s.tree1, s.select_word1,
+                            s.select_word2, s.res_high)
+    np.testing.assert_array_equal(got, want, err_msg="fallback path")
+print("OK")
+"""
+
+
+def test_fixpoint_converges_fast_and_bound_falls_back():
+    _run(_FIXPOINT_CODE)

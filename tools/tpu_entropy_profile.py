@@ -127,7 +127,7 @@ def main() -> None:
 
     t = t_min(lambda: edd._runs_fixpoint(xs_t, p1, k))
     print(f"fixpoint: {t*1000:.0f} ms/batch  (L={r_max//k} steps/sweep)")
-    ys = edd._runs_fixpoint(xs_t, p1, k)
+    ys, _it = edd._runs_fixpoint(xs_t, p1, k)
 
     t = t_min(lambda: edd._runs_emit_batch(ys, lits, s1B, s2B, p1, r_max))
     print(f"emit: {t*1000:.0f} ms/batch")

@@ -94,9 +94,8 @@ def main() -> None:
             s.select_word2, np.uint8)))
     cr = np.asarray(jnp.stack([countB, jnp.stack(run_refs)]))
     counts, runs = cr[0], cr[1]
-    s_trim = int(min(max(64, counts.max() + 1), s_max))
-    s_trim = 1 << (s_trim - 1).bit_length()
-    r_max = 1 << max(4, int(max(runs.max(), 1) - 1).bit_length())
+    s_trim = min(edd._bucket(int(counts.max()) + 1), s_max)
+    r_max = edd._bucket(int(max(runs.max(), 1)))
 
     def pad_rows(rows, fill=0):
         n = 1 << max(6, (max(len(r) for r in rows) - 1).bit_length())
@@ -144,22 +143,39 @@ def main() -> None:
     rt = rt_fetch(lambda i: one + i)
     print(f"round-trip: {rt*1000:.1f} ms")
 
-    # distinct inputs per call (the tunnel dedups identical launches)
-    def fix_call(i):
-        xs2 = (xs_t[0] + (i > 100),) + tuple(xs_t[1:])
-        return edd._runs_fixpoint(xs2, p1, k)
+    rest = tuple(xs_t[1:])
 
-    it = rt_fetch(fix_call) - rt
-    print(f"fixpoint: {it*1000:.0f} ms/call ({it/b*1000:.1f} ms/img)")
+    def mk_fix(n):
+        @jax.jit
+        def f(x0):
+            def body(c, _):
+                ys, _it = edd._runs_fixpoint.__wrapped__(
+                    (x0 + c,) + rest, p1, k)
+                return (ys[3][0, 0] & 1).astype(jnp.int32), None
+            c, _ = jax.lax.scan(body, jnp.int32(0), None, length=n)
+            return c
+        return f
 
-    ys = edd._runs_fixpoint(xs_t, p1, k)
+    it = slope(mk_fix, xs_t[0], 1, 4)
+    print(f"fixpoint: {it*1000:.0f} ms/iter ({it/b*1000:.1f} ms/img)")
 
-    def emit_call(i):
-        ys2 = (ys[0], ys[1], ys[2], ys[3] + (i > 100))
-        return edd._runs_emit_batch(ys2, lits, s1B, s2B, p1, r_max)
+    ys, _it = edd._runs_fixpoint(xs_t, p1, k)
+    ys3 = ys[3]
+    ys_rest = (ys[0], ys[1], ys[2])
 
-    it = rt_fetch(emit_call) - rt
-    print(f"emit: {it*1000:.0f} ms/call ({it/b*1000:.1f} ms/img)")
+    def mk_emit(n):
+        @jax.jit
+        def f(y3):
+            def body(c, _):
+                out = edd._runs_emit_batch.__wrapped__(
+                    ys_rest + (y3 + c,), lits, s1B, s2B, p1, r_max)
+                return (out[0, 0] & 1).astype(jnp.int32), None
+            c, _ = jax.lax.scan(body, jnp.int32(0), None, length=n)
+            return c
+        return f
+
+    it = slope(mk_emit, ys3, 1, 4)
+    print(f"emit: {it*1000:.0f} ms/iter ({it/b*1000:.1f} ms/img)")
 
 
 if __name__ == "__main__":
