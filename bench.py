@@ -229,7 +229,121 @@ def _device_numbers(b: int = 64) -> dict:
         edd.decode_y_device_batch(batches[i])
         ts.append(time.perf_counter() - t0)
     out["device_entropy_y_ms_img"] = min(ts) / 32 * 1000
+
+    # non-transfer per-image cost of the same path (chained-slope
+    # methodology, tools/tpu_entropy_slope.py): chain + xs-prep +
+    # fixpoint + emit, everything device-resident
+    out["device_entropy_y_nontransfer_ms_img"] = _entropy_phase_sum(base)
     return {k: round(v, 1) for k, v in out.items()}
+
+
+def _entropy_phase_sum(streams) -> float:
+    """Sum of the four decode_y device phases measured with chained
+    data-dependent iterations (nothing fetched but a scalar)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nhwcodec_tpu import tables as T
+    from nhwcodec_tpu.ops import entropy
+    from nhwcodec_tpu.ops import entropy_chain_scan as ecs
+    from nhwcodec_tpu.ops import entropy_decode_device as edd
+
+    b = len(streams)
+    p1 = 4 * T.IM_SIZE
+    all_nbits = [s.packet1.size * 32 for s in streams]
+    s_max = 1 << (min(p1, max(64, max(all_nbits) // 2 + 2))
+                  - 1).bit_length()
+    nw = 1 << max(7, int(max(s.packet1.size for s in streams)
+                         ).bit_length())
+    wordsB = np.zeros((b, nw), np.uint32)
+    for i, s in enumerate(streams):
+        wordsB[i, :s.packet1.size] = s.packet1
+    nbits = jnp.asarray(all_nbits, dtype=jnp.int32)
+    zone = jnp.asarray([1 if s.res_high < 4 else 0 for s in streams],
+                       jnp.int32)
+    wordsD = jax.device_put(wordsB)
+
+    def mk_chain(n):
+        @jax.jit
+        def f(w):
+            def body(c, _):
+                syms, counts = ecs.chain_starts_batch.__wrapped__(
+                    w ^ c, nbits, zone, s_max)
+                return (counts[0] & 1).astype(jnp.uint32), syms
+            c, _ = jax.lax.scan(body, jnp.uint32(0), None, length=n)
+            return c
+        return f
+
+    total = _per_iter(mk_chain, wordsD, 1, 4)
+
+    symB_full, countB = edd._chain_batch_scan(streams, s_max)
+    books = [entropy.build_y_book(s.tree1) for s in streams]
+    run_refs = [edd._run_count(symB_full[i],
+                               edd._book_device(*books[i])[0], countB[i])
+                for i in range(b)]
+    cr = np.asarray(jnp.stack([countB, jnp.stack(run_refs)]))
+    s_trim = min(edd._bucket(int(cr[0].max()) + 1), s_max)
+    r_max = edd._bucket(int(max(cr[1].max(), 1)))
+
+    def pad_rows(rows):
+        n = 1 << max(6, (max(len(r) for r in rows) - 1).bit_length())
+        o = np.zeros((len(rows), n), np.int32)
+        for i, r in enumerate(rows):
+            o[i, :len(r)] = r
+        return jnp.asarray(o)
+
+    symB = jax.device_put(np.asarray(symB_full[:, :s_trim]))
+    vB = pad_rows([bk[0] for bk in books])
+    rB = pad_rows([bk[1] for bk in books])
+    s1B = pad_rows([np.unpackbits(np.ascontiguousarray(
+        s.select_word1, np.uint8)) for s in streams])
+    s2B = pad_rows([np.unpackbits(np.ascontiguousarray(
+        s.select_word2, np.uint8)) for s in streams])
+    k = min(64, r_max)
+
+    def mk_xs(n):
+        @jax.jit
+        def f(s):
+            def body(c, _):
+                xs_t, lits = edd._runs_xs_batch(s + c, vB, rB, p1,
+                                                r_max, k)
+                return (lits[1][0, 0] & 1).astype(jnp.int32), None
+            c, _ = jax.lax.scan(body, jnp.int32(0), None, length=n)
+            return c
+        return f
+
+    total += _per_iter(mk_xs, symB, 1, 4)
+    xs_t, lits = edd._runs_xs_batch(symB, vB, rB, p1, r_max, k)
+    rest = tuple(xs_t[1:])
+
+    def mk_fix(n):
+        @jax.jit
+        def f(x0):
+            def body(c, _):
+                ys, _it = edd._runs_fixpoint.__wrapped__(
+                    (x0 + c,) + rest, p1, k)
+                return (ys[3][0, 0] & 1).astype(jnp.int32), None
+            c, _ = jax.lax.scan(body, jnp.int32(0), None, length=n)
+            return c
+        return f
+
+    total += _per_iter(mk_fix, xs_t[0], 1, 4)
+    ys, _it = edd._runs_fixpoint(xs_t, p1, k)
+    ys_rest = (ys[0], ys[1], ys[2])
+
+    def mk_emit(n):
+        @jax.jit
+        def f(y3):
+            def body(c, _):
+                o = edd._runs_emit_batch.__wrapped__(
+                    ys_rest + (y3 + c,), lits, s1B, s2B, p1, r_max)
+                return (o[0, 0] & 1).astype(jnp.int32), None
+            c, _ = jax.lax.scan(body, jnp.int32(0), None, length=n)
+            return c
+        return f
+
+    total += _per_iter(mk_emit, ys[3], 1, 4)
+    return total / b * 1000
 
 
 def _tunnel_numbers() -> dict:
