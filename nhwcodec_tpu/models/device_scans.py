@@ -446,3 +446,202 @@ def offset_uv_device(plane, m2: int = 8):
                     jnp.where(escp | escn, _escape_code(If), code))
     out = jnp.where(is120, 120, out)
     return out.reshape(plane.shape).astype(jnp.int16)
+
+
+# ---------------------------------------------------------------------------
+# E15: serpentine interleave + the stream fixups
+# (encoder/nhw_encoder.c:2111-2252; ops/quantize.py serpentine/merge/
+#  select/cap)
+
+
+@functools.lru_cache(maxsize=1)
+def _y_serp_inverse():
+    import numpy as np
+
+    from nhwcodec_tpu.ops import geometry
+
+    perm = np.asarray(geometry.y_deserpentine_map())
+    inv = np.empty(perm.size, np.int32)
+    inv[perm] = np.arange(perm.size, dtype=np.int32)
+    return inv
+
+
+@functools.lru_cache(maxsize=1)
+def _uv_serp_inverse():
+    import numpy as np
+
+    from nhwcodec_tpu.ops import geometry
+
+    perm = np.asarray(geometry.uv_deserpentine_map())
+    inv = np.empty(perm.size, np.int32)
+    inv[perm] = np.arange(perm.size, dtype=np.int32)
+    return inv
+
+
+def serpentine_y_device(codes):
+    """(B,512,512) int16 code plane -> (B, 4*SZ) uint8 stream (the Y
+    part of im_nhw; the UV half stays zero until serpentine_uv)."""
+    inv = jnp.asarray(_y_serp_inverse())
+    flat = (codes.reshape(codes.shape[0], -1) & 255).astype(jnp.uint8)
+    return flat[:, inv]
+
+
+def serpentine_uv_device(codes):
+    """(B,256,256) int16 -> (B, SZ) uint8 serpentine stream (the caller
+    interleaves U at even / V at odd offsets of im_nhw[4SZ:])."""
+    inv = jnp.asarray(_uv_serp_inverse())
+    flat = (codes.reshape(codes.shape[0], -1) & 255).astype(jnp.uint8)
+    return flat[:, inv]
+
+
+def _compose5(g, f):
+    """Compose packed 5-state maps (3 bits per entry): h(m) = g(f(m))."""
+    h = jnp.zeros_like(g)
+    for m in range(5):
+        fm = (f >> (3 * m)) & 7
+        gm = (g >> (3 * jnp.minimum(fm, 4))) & 7
+        h = h | (gm << (3 * m))
+    return h
+
+
+_ID5 = 0 | (1 << 3) | (2 << 6) | (3 << 9) | (4 << 12)
+
+
+def _skip_walk_states(k):
+    """Cursor-skip state machine: state m = positions still skipped.
+    Per-position map T(m) = m-1 if m>0 else k(i)-1, composed with an
+    associative scan; returns the state BEFORE each position (0 =
+    visited)."""
+    kk = jnp.clip(k - 1, 0, 4)
+    t = (kk | (0 << 3) | (1 << 6) | (2 << 9) | (3 << 12)).astype(jnp.int32)
+    # prefix composition in walk order: combine(earlier, later) = later∘earlier
+    comp = jax.lax.associative_scan(
+        lambda a, bb: _compose5(bb, a), t, axis=-1)
+    # state before position i = (composition of T_0..T_{i-1})(0)
+    before = jnp.concatenate(
+        [jnp.zeros_like(comp[..., :1]),
+         comp[..., :-1] & 7], axis=-1)
+    return before
+
+
+@jax.jit
+def merge_crossing_device(s):
+    """ops.quantize.merge_crossing_codes on a (B, >=4*SZ+8) uint8
+    stream.  The cursor walk's decisions are initial-value-pure (fires
+    write only behind or inside the skip window), so the walk is a
+    static 5-state skip machine; fires then apply as masked writes."""
+    b, n = s.shape
+    v = s.astype(jnp.int32)
+    v1 = _flat_shift_l(v)
+    v2 = _flat_shift_l(v, 2)
+    v3 = _flat_shift_l(v, 3)
+    v4 = _flat_shift_l(v, 4)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    end = 4 * SZ - 4
+    c1 = (v != 128) & (v1 == 128)
+    pat = c1 & (v2 == 128) & (v3 == 128)
+    in01 = ((v == 136) | (v == 120))
+    in45 = ((v4 == 136) | (v4 == 120))
+    fire_p = pat & in01 & in45
+    k = jnp.where(~c1, 1,
+                  jnp.where(v2 != 128, 2,
+                            jnp.where(v3 != 128, 3,
+                                      jnp.where(fire_p, 5, 4))))
+    k = jnp.where(idx < end, k, 1)
+    before = _skip_walk_states(jnp.broadcast_to(k, (b, n)))
+    fire = fire_p & (before == 0) & (idx < end)
+    code = jnp.where(v == 136,
+                     jnp.where(v4 == 136, 132, 133),
+                     jnp.where(v4 == 136, 134, 135))
+    out = jnp.where(fire, code, v)
+    f4 = _flat_shift_r(fire, 4)
+    out = jnp.where(f4, 201, out)
+    return out.astype(jnp.uint8)
+
+
+@jax.jit
+def select_codes_device(s):
+    """ops.quantize.select_codes: returns (stream', sel1, sel2).  All
+    ==128 tests are write-invariant (writes replace one non-128 value
+    with another), the nxt reads are initial, and the only chain is
+    consumption by the previous candidate's c1/c2 fire — run parity."""
+    b, n = s.shape
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    v = s.astype(jnp.int32)
+    v = jnp.where((idx < 4) | ((idx >= 4 * SZ - 4) & (idx < 4 * SZ)),
+                  128, v)
+    e128 = v == 128
+    vl1 = _flat_shift_l(v)
+
+    def sr(x, kk):
+        return _flat_shift_r(x, kk, False)
+
+    def sl(x, kk):
+        return _flat_shift_l(x, kk, False)
+
+    cand = ((v == 136) | (v == 120)) & (idx >= 4) & (idx < 4 * SZ - 4)
+    nxt_in = (vl1 == 120) | (vl1 == 136)
+    back4 = sr(e128, 1) & sr(e128, 2) & sr(e128, 3) & sr(e128, 4)
+    c1 = sl(e128, 2) & nxt_in & back4
+    c2 = sr(e128, 1) & nxt_in & sl(e128, 2) & sl(e128, 3) \
+        & sl(e128, 4) & sl(e128, 5)
+    c3 = back4 & sl(e128, 1)
+    c4 = sr(e128, 1) & sl(e128, 1) & sl(e128, 2) & sl(e128, 3) \
+        & sl(e128, 4)
+    A = cand & (c1 | c2)
+    fired12 = _run_parity_fire(A)
+    consumed = _flat_shift_r(fired12, 1, False)
+    fired34 = cand & ~consumed & ~(c1 | c2) & (c3 | c4)
+
+    out = v
+    # c1/c2: write s[i+1] = 157 (nxt == 120) / 159
+    w12 = _flat_shift_r(fired12, 1, False)
+    code12 = _flat_shift_r(jnp.where(vl1 == 120, 157, 159), 1)
+    out = jnp.where(w12, code12, out)
+    # c3/c4: write s[i] = 153 (v == 136) / 155
+    out = jnp.where(fired34, jnp.where(v == 136, 153, 155), out)
+    sel1 = jnp.sum(fired34.astype(jnp.int32), axis=-1)
+    sel2 = jnp.sum(fired12.astype(jnp.int32), axis=-1)
+    return out.astype(jnp.uint8), sel1, sel2
+
+
+@jax.jit
+def cap_long_runs_device(s):
+    """ops.quantize.cap_long_runs: closed-form per maximal 128-run.
+    Counting crosses 255 at in-run offsets 255+254m; only the final
+    crossing's i+2/i+3 reach past the run end (demoting 153->124 /
+    155->123 there), and the residual count >= 252 demotes the first
+    post-run byte.  Runs are static (demotes replace non-128 values)."""
+    b, n = s.shape
+    v = s.astype(jnp.int32)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    r128 = v == 128
+    # maximal 128-runs: start index via cummax, length via end scan
+    is_start = r128 & ~_flat_shift_r(r128, 1, False)
+    startv = jnp.where(is_start, idx, -1)
+    start = jax.lax.cummax(startv, axis=startv.ndim - 1)
+    is_end = r128 & ~_flat_shift_l(r128, 1, False)
+    # run length at each end position (the pair loop only ENTERS for
+    # runs the outer cursor reaches before 4*SZ)
+    L = idx - start + 1
+    run_ok = is_end & (start < 4 * SZ) & (L >= 2) & (start >= 0)
+    # crossings exist while 255+254m <= L-2; the last one's overhang:
+    #   i_m == L-2 (m integer)  -> demote at p+L, p+L+1
+    #   i_m == L-3              -> demote at p+L
+    def is_cross(off):
+        return (off >= 255) & (((off - 255) % 254) == 0)
+
+    dem_both = run_ok & is_cross(L - 2)
+    dem_one = run_ok & is_cross(L - 3)
+    # residual count after M crossings: L-1-254M; M = crossings <= L-2
+    M = jnp.where(L >= 257, (L - 257) // 254 + 1, 0)
+    res_cnt = L - 1 - 254 * M
+    dem_res = run_ok & (res_cnt >= 252)
+
+    # demote masks land at run end + 1 (p+L) and +2 (p+L+1)
+    d1 = _flat_shift_r(dem_both | dem_one | dem_res, 1, False)
+    d2 = _flat_shift_r(dem_both, 2, False)
+    dem = d1 | d2
+    out = jnp.where(dem & (v == 153), 124,
+                    jnp.where(dem & (v == 155), 123, v))
+    return out.astype(jnp.uint8)
