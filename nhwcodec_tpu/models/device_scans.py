@@ -645,3 +645,484 @@ def cap_long_runs_device(s):
     out = jnp.where(dem & (v == 153), 124,
                     jnp.where(dem & (v == 155), 123, v))
     return out.astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# E12 marking: the res256 column ladder (ops/residue.res256_column_ladder,
+# encoder/nhw_encoder.c:1084-1326)
+#
+# The 256 columns are mutually independent: column j's scan reads only
+# its own writes (rows r+1/r+2 of pf column j, its rf column, its band
+# row j) plus initial values of column j+1 and rf rows below — EXCEPT
+# column 255, whose flat-overflow "pair" reads land on other columns'
+# band row heads (pf[(r,256)] = column r's first band value) and on
+# rf column 0 (rf[cnt+1] wraps to the next rf row).  So: one lax.scan
+# over the 255 rows with columns as lanes, then a corrective re-run of
+# column 255 against the main pass's outputs.
+
+
+def _cl_band_op(case, v, bp):
+    """The banded w1/w2/w3/lw5 ops on (bnd_cur, bnd_prev).
+    case: 0 none, 1 w1, 2 w2, 3 w3, 4 lw5(res==-4), 5 lw5(res<-6)."""
+    neg_ok = (v < -14) & ((((-v) & 7) == 0) | (((-v) & 7) == 7))
+    w1 = jnp.where((v == 7) & (bp >= 0) & (bp < 8), v + 2,
+                   jnp.where((v == 8) & (bp >= -2) & (bp < 8), v + 2, v))
+    w2 = jnp.where(neg_ok, v + 1,
+                   jnp.where(((v == 7) | ((v & 65534) == 8))
+                             & (bp >= -2), v + 3, v))
+    w3 = jnp.where(neg_ok, v + 1,
+                   jnp.where((v >= 0) & (((v + 2) & 65532) == 8)
+                             & (bp >= -2), 10,
+                             jnp.where((v > 14) & ((v & 7) == 7),
+                                       v + 1, v)))
+    lw4 = jnp.where(((v == -7) | (v == -8)) & (bp > -8) & (bp < 2),
+                    -9, v)
+    lw6 = jnp.where(neg_ok, v + 1,
+                    jnp.where(((v == 7) | (v == 8)) & (bp >= -1)
+                              & (bp < 8), v + 3, v))
+    return jnp.where(case == 1, w1,
+                     jnp.where(case == 2, w2,
+                               jnp.where(case == 3, w3,
+                                         jnp.where(case == 4, lw4,
+                                                   jnp.where(case == 5,
+                                                             lw6, v)))))
+
+
+def _cl_step(flags):
+    ge_low1, low2, ge_high1, res_setting = flags
+
+    def step(carry, xs):
+        (v0, v1, vprev, markm1, rfc, bnd_prev) = carry
+        (i_pf2, i_rf1, i_rf2, i_bnd, p_j1, p1_j1, p2_j1,
+         r_j1, r1_j1, r2_j1, has_prev) = xs
+        v2 = i_pf2
+        res = v0 - rfc
+        a = v1 - i_rf1
+        b2 = v2 - i_rf2
+
+        mark = rfc                     # rf[cnt] final (default: keep)
+        d1 = jnp.zeros_like(v0)        # v1 += d1
+        d2 = jnp.zeros_like(v0)        # v2 += d2
+        set1 = jnp.zeros_like(v0) - 1  # v1 := value when >= 0 flag
+        set1_on = jnp.zeros_like(v0, dtype=bool)
+        rf1_new = i_rf1                # rf[cnt+D] (LOW2 writes)
+        case = jnp.zeros_like(v0)      # band op selector
+        done = jnp.zeros_like(v0, dtype=bool)
+
+        def fire(cond, mk=None, dd1=None, dd2=None, s1=None, rf1=None,
+                 bc=None):
+            nonlocal mark, d1, d2, set1, set1_on, rf1_new, case, done
+            c = cond & ~done
+            if mk is not None:
+                mark = jnp.where(c, mk, mark)
+            if dd1 is not None:
+                d1 = jnp.where(c, dd1, d1)
+            if dd2 is not None:
+                d2 = jnp.where(c, dd2, d2)
+            if s1 is not None:
+                set1 = jnp.where(c, s1, set1)
+                set1_on = set1_on | c
+            if rf1 is not None:
+                rf1_new = jnp.where(c, rf1, rf1_new)
+            if bc is not None:
+                case = jnp.where(c, bc, case)
+            done = done | cond
+
+        # branch 1
+        b = (res == 2) & (a == 2) & (b2 >= 2)
+        fire(b & ((b2 < 5) | (b2 > 6)), mk=12400, dd1=-2, dd2=-2)
+        done = done | b   # the b2-in-5..6 case does nothing but matched
+        # branch 2
+        fire((((res == 2) & (a == 3)) | ((res == 3) & (a == 2)))
+             & (b2 > 1) & (b2 < 6), mk=12400, dd1=-2, dd2=-2)
+        # branch 3
+        b3 = (res == 3) & (a == 3)
+        fire(b3 & (b2 > 0) & (b2 < 6), mk=12400, dd1=-2, dd2=-2)
+        if ge_low1:
+            fire(b3, mk=12100, s1=0)   # v1 := rf[cnt+D]
+        else:
+            done = done | b3
+        # branch 4
+        b4 = (a == -4) & ((res == 2) | (res == 3)) & ((b2 == 2)
+                                                      | (b2 == 3))
+        fire(b4 & (res == 2) & (b2 == 2), dd1=1)
+        fire(b4, mk=12400, dd1=-2, dd2=-2)
+        # branch 5
+        b5 = (res == 1) & (a == 3) & (b2 == 2)
+        fire(b5 & has_prev & ((vprev - markm1) >= 0),
+             mk=12400, dd1=-2, dd2=-2)
+        done = done | b5
+        # branch 6
+        b6 = ((res == 3) | (res == 4) | (res == 5) | (res > 6)) \
+            & ((a == 3) | ((a & 65534) == 4))
+        fire(b6 & (res > 6), mk=12500, s1=0)
+        if ge_low1:
+            fire(b6, mk=12100, s1=0)
+        elif low2:
+            c = b6 & ~done
+            rf14 = jnp.where((res < 5) & (a == 5), True,
+                             jnp.where(res >= 5, False,
+                                       (res == 3) & (a >= 4)))
+            hit14 = (res >= 5)
+            rf1_new = jnp.where(c & rf14, 14100, rf1_new)
+            mark = jnp.where(c & hit14, 14100, mark)
+            set1 = jnp.where(c, 0, set1)
+            set1_on = set1_on | c
+            done = done | b6
+        else:
+            done = done | b6
+        # branch 7 (the cross-column pair check)
+        b7 = ((res == 2) | (res == 3)) & ((a == 2) | (a == 3))
+        pr = p_j1 - r_j1
+        pr1 = p1_j1 - r1_j1
+        pr2 = p2_j1 - r2_j1
+        fire(b7 & ((b2 == 0) | (b2 == 1))
+             & ((pr == 2) | (pr == 3)) & ((pr1 == 2) | (pr1 == 3))
+             & (pr2 > 0), mk=12400, dd1=-2, dd2=-2)
+        done = done | b7
+        # branch 8
+        b8 = (a == 4) & ((res == -2) | (res == -3)) \
+            & ((b2 == -2) | (b2 == -3))
+        fire(b8 & (res == -2) & (b2 == -2), dd1=-1)
+        fire(b8, mk=12300, dd1=2, dd2=2)
+        # branch 9
+        b9 = ((res == -3) | (res == -4) | (res == -5) | (res < -7)) \
+            & ((a == -3) | (a == -4) | (a == -5))
+        fire(b9 & (res < -7), mk=12600, s1=0)
+        if ge_low1:
+            fire(b9, mk=12200, s1=0)
+        elif low2:
+            c = b9 & ~done
+            rf14 = jnp.where((res > -5) & (a == -5), True,
+                             jnp.where(res <= -5, False,
+                                       (res == -3) & (a <= -4)))
+            hit14 = (res <= -5)
+            rf1_new = jnp.where(c & rf14, 14000, rf1_new)
+            mark = jnp.where(c & hit14, 14000, mark)
+            set1 = jnp.where(c, 0, set1)
+            set1_on = set1_on | c
+            done = done | b9
+        else:
+            done = done | b9
+        # branch 10: a in (-2, -3)
+        b10 = (a == -2) | (a == -3)
+        g = b10 & ~done
+        r23 = (res == -2) | (res == -3)
+        fire(g & r23 & (b2 < 0), mk=12300, dd1=2, dd2=2)
+        if ge_high1:
+            fire(g & r23 & (res == -3), mk=14500)
+        npair = ((pr == -2) | (pr == -3)) & ((pr1 == -2) | (pr1 == -3)) \
+            & (pr2 < 0)
+        fire(g & r23 & (b2 == 0) & npair, mk=12300, dd1=2, dd2=2)
+        fire(g & r23 & (b2 == 0), )    # matched, no action
+        fire(g & r23 & (res == -2), bc=2)
+        if ge_high1:
+            fire(g & r23, mk=14500)    # _lw3
+        else:
+            fire(g & r23, bc=3)
+        b10b = g & (res == -1) & (a == -3) & (b2 == -2)
+        fire(b10b & has_prev & ((vprev - markm1) <= 0),
+             mk=12300, dd1=2, dd2=2)
+        done = done | b10b
+        fire(g & (res == -1) & (b2 == -3), mk=12300, dd1=2, dd2=2)
+        fire(g & (res == -1), bc=1)
+        b10d = g & (res == -4)
+        fire(b10d & (b2 <= -2) & (b2 >= -3), mk=12300, dd1=2, dd2=2)
+        # _lw5(res == -4): mark 14000 + band case 4
+        fire(b10d, mk=14000, bc=4)
+        done = done | b10
+        # branches 11-14
+        fire(((res == 0) | (res == -1)), bc=1)
+        fire((res == -2), bc=2)
+        if ge_high1:
+            fire((res == -3), mk=14500)
+        else:
+            fire((res == -3), bc=3)
+        # _lw5 tail: res < -res_setting
+        blast = res < -res_setting
+        c0 = blast & ~done
+        mark = jnp.where(c0, 14000, mark)        # _lw5 sets 14000 first
+        case = jnp.where(c0 & (res == -4), 4, case)
+        if ge_high1:
+            mark = jnp.where(c0 & (res < -7), 14900, mark)
+            case = jnp.where(c0 & (res < -6) & ~(res < -7), 5, case)
+        else:
+            case = jnp.where(c0 & (res < -6), 5, case)
+        done = done | blast
+
+        v1f = jnp.where(set1_on, rf1_new, v1 + d1)
+        v2f = v2 + d2
+        bnd = _cl_band_op(case, i_bnd, bnd_prev)
+        carry2 = (v1f, v2f, v0, mark, rf1_new, bnd)
+        return carry2, (v0, mark, bnd)
+
+    return step
+
+
+@functools.partial(jax.jit, static_argnames=("flags",))
+def _cl_main(plane, rf_ext, flags):
+    """Main column-ladder scan over all 256 columns as lanes."""
+    b = plane.shape[0]
+    I = plane.astype(jnp.int32)
+    rfe = rf_ext.astype(jnp.int32)
+    rows = jnp.arange(255)
+
+    def gather_rows(r_off):
+        # (255, B, 256): plane rows r+r_off, columns 0..255
+        return jnp.swapaxes(
+            jax.lax.dynamic_slice_in_dim(I, r_off, 255, axis=1),
+            0, 1)[:, :, :256]
+
+    def rf_rows(r_off):
+        sl = jax.lax.dynamic_slice_in_dim(
+            rfe, r_off * 256, 255 * 256, axis=1).reshape(b, 255, 256)
+        return jnp.swapaxes(sl, 0, 1)
+
+    def rf_rows_sh(r_off):
+        # rf[r*256 + j + 1 + r_off*256] — the flat +1 (column j+1,
+        # wrapping to the next row's column 0 at j=255)
+        sl = jax.lax.dynamic_slice_in_dim(
+            rfe, r_off * 256 + 1, 255 * 256, axis=1).reshape(b, 255, 256)
+        return jnp.swapaxes(sl, 0, 1)
+
+    def pf_rows_sh(r_off):
+        # plane[r+r_off, j+1] (col 256 read for j=255 — corrected later)
+        sl = jax.lax.dynamic_slice_in_dim(I, r_off, 255, axis=1)
+        return jnp.swapaxes(sl[:, :, 1:257], 0, 1)
+
+    i_bnd = jnp.swapaxes(I[:, :256, 256:511], 0, 2).swapaxes(1, 2)
+    # i_bnd[r, b, j] = I[b, j, 256+r]
+    xs = (gather_rows(2), rf_rows(1), rf_rows(2), i_bnd,
+          pf_rows_sh(0), pf_rows_sh(1), pf_rows_sh(2),
+          rf_rows_sh(0), rf_rows_sh(1), rf_rows_sh(2),
+          rows > 0)
+    init = (I[:, 0, :256], I[:, 1, :256],
+            jnp.zeros((b, 256), jnp.int32), jnp.zeros((b, 256), jnp.int32),
+            rfe[:, :256], I[:, :256, 255])
+    carry, ys = jax.lax.scan(_cl_step(flags), init, xs)
+    return carry, ys
+
+
+@functools.partial(jax.jit, static_argnames=("flags",))
+def _cl_col255(plane, rf_ext, bnd0_all, bnd0_255, rf_col0, flags):
+    """Corrective re-run of column 255: its pair reads see the other
+    columns' first band values (bnd0_all[j] = final plane[j, 256]) and
+    rf column 0's final marks; its own first band value feeds steps
+    253-254 (bnd0_255, fixed by running this twice)."""
+    b = plane.shape[0]
+    I = plane.astype(jnp.int32)
+    rfe = rf_ext.astype(jnp.int32)
+    rows = jnp.arange(255)
+    j = 255
+
+    p_j1 = jnp.swapaxes(bnd0_all[:, 0:255], 0, 1)[:, :, None]
+    # rows r+1: (r+1, 256) = bnd0_all for rows 1..254, own bnd0 at 255
+    p1_j1 = jnp.swapaxes(
+        jnp.concatenate([bnd0_all[:, 1:255],
+                         bnd0_255[:, None]], axis=1), 0, 1)[:, :, None]
+    # rows r+2: bnd0_all for rows 2..254, own bnd0 at 255, and the
+    # untouched initial plane value at row 256
+    tail = jnp.concatenate([bnd0_all[:, 2:255],
+                            bnd0_255[:, None],
+                            I[:, 256, 256][:, None]], axis=1)
+    p2_j1 = jnp.swapaxes(tail, 0, 1)[:, :, None]
+    # rf col 0 rows r..r+2 final (rf[cnt+1] wraps to row r+1 col 0)
+    r_j1 = jnp.swapaxes(rf_col0[:, 1:256], 0, 1)[:, :, None]
+    r1_j1 = jnp.swapaxes(rf_col0[:, 2:257], 0, 1)[:, :, None]
+    r2_j1 = jnp.swapaxes(rf_col0[:, 3:258], 0, 1)[:, :, None]
+
+    def col(r_off):
+        return jnp.swapaxes(jax.lax.dynamic_slice_in_dim(
+            I[:, :, j], r_off, 255, axis=1), 0, 1)[:, :, None]
+
+    def rfc_rows(r_off):
+        # strided gather of rf[(r+r_off)*256 + 255]
+        idx = ((rows + r_off) * 256 + j)
+        return jnp.swapaxes(rfe[:, idx], 0, 1)[:, :, None]
+
+    i_bnd = jnp.swapaxes(I[:, j, 256:511], 0, 1)[:, :, None]
+    xs = (col(2), rfc_rows(1), rfc_rows(2), i_bnd,
+          p_j1, p1_j1, p2_j1, r_j1, r1_j1, r2_j1, rows > 0)
+    init = (I[:, 0, j][:, None], I[:, 1, j][:, None],
+            jnp.zeros((b, 1), jnp.int32), jnp.zeros((b, 1), jnp.int32),
+            rfe[:, j][:, None], I[:, j, 255][:, None])
+    carry, ys = jax.lax.scan(_cl_step(flags), init, xs)
+    return carry, ys
+
+
+def column_ladder_device(plane, rf_ext, quality: int, res_setting: int):
+    """ops.residue.res256_column_ladder on (B,512,512) int16 planes.
+    rf_ext: (B, SZ+1024) int16 (res256 + the oob tail the host builds).
+    Returns (plane', rf') with rf' of shape (B, SZ)."""
+    from nhwcodec_tpu import tables as T
+
+    flags = (quality >= T.LOW1, quality == T.LOW2,
+             quality >= T.HIGH1, res_setting)
+    plane = jnp.asarray(plane)
+    rf_ext = jnp.asarray(rf_ext)
+    b = plane.shape[0]
+    carry, ys = _cl_main(plane, rf_ext, flags)
+    v0s, marks, bnds = ys            # (255, B, 256)
+
+    out = plane.astype(jnp.int32)
+    out = out.at[:, 0:255, 0:256].set(jnp.swapaxes(v0s, 0, 1))
+    out = out.at[:, 255, 0:256].set(carry[0])
+    out = out.at[:, 256, 0:256].set(carry[1])
+    out = out.at[:, 0:256, 256:511].set(
+        jnp.swapaxes(jnp.swapaxes(bnds, 0, 1), 1, 2))
+    rf = rf_ext.astype(jnp.int32)[:, :SZ].reshape(b, 256, 256)
+    rf = rf.at[:, 0:255, :].set(jnp.swapaxes(marks, 0, 1))
+    rf = rf.at[:, 255, :].set(carry[4])
+
+    # column 255 correction (two passes: the second resolves its own
+    # step-0 band value feeding steps 253-254)
+    bnd0_all = out[:, 0:256, 256]                    # final (j, 256)
+    # rf column 0 rows 0..255 final, then the flat-overflow tail the
+    # reference reads at rf[65536] / rf[65792] (the oob block)
+    rfe32 = rf_ext.astype(jnp.int32)
+    rf_col0 = jnp.concatenate(
+        [rf[:, :, 0], rfe32[:, SZ][:, None],
+         rfe32[:, SZ + 256][:, None]], axis=1)
+    bnd0_255 = out[:, 255, 256]
+    for _ in range(2):
+        carry2, ys2 = _cl_col255(plane, rf_ext, bnd0_all, bnd0_255,
+                                 rf_col0, flags)
+        bnd0_255 = ys2[2][0, :, 0]
+    v0s2, marks2, bnds2 = ys2
+    out = out.at[:, 0:255, 255].set(v0s2[:, :, 0].T)
+    out = out.at[:, 255, 255].set(carry2[0][:, 0])
+    out = out.at[:, 256, 255].set(carry2[1][:, 0])
+    out = out.at[:, 255, 256:511].set(jnp.swapaxes(bnds2[:, :, 0], 0, 1))
+    rf = rf.at[:, 0:255, 255].set(marks2[:, :, 0].T)
+    rf = rf.at[:, 255, 255].set(carry2[4][:, 0])
+    return (out.astype(jnp.int16),
+            rf.reshape(b, SZ).astype(jnp.int16))
+
+
+# ---------------------------------------------------------------------------
+# E12 classify: residue codes 121..149 (ops/residue.res256_classify,
+# encoder/nhw_encoder.c:1329-1420).  Row-major raster, but pf[scan] and
+# rf[cnt] reads are initial-value-pure; the only chain is each band
+# row's st-1 read of the previous outer row's write — a 256-step scan
+# over rows with columns as lanes.
+
+
+def _classify_step(flags):
+    ge_high1, res_setting = flags
+
+    def step(bnd_prev, xs):
+        pf_r, rf_r, i_bnd = xs
+        mark = rf_r
+        low = mark < 12000
+        res = pf_r - mark
+
+        v = i_bnd
+        bp = bnd_prev
+        case_nop = v
+
+        # band helpers
+        dec16 = (v > 15) & ((v & 7) == 0)
+        m78 = (v == -7) | (v == -8)
+
+        b01 = low & ((res == 0) | (res == 1))
+        bA = jnp.where(m78 & (bp > -8) & (bp < 2), -9, v)
+        b2m = low & (res == 2)
+        bB = jnp.where(dec16, v - 1,
+                       jnp.where(m78 & (bp <= 1), -9,
+                                 jnp.where((v == -6) & (bp > -8)
+                                           & (bp <= -1), -9, v)))
+        b3m = low & (res == 3)
+        bC = jnp.where(dec16, v - 1,
+                       jnp.where((v <= 0) & ((((-v) + 2) & 65532) == 8)
+                                 & (bp <= 2), -10, v))
+        bhi = low & (res > res_setting)
+        bD = jnp.where(((v == 7) | ((v & 65534) == 8)) & (bp >= 0)
+                       & (bp < 8), v + 2, v)
+        bE = jnp.where(dec16, v - 1,
+                       jnp.where(((v == -6) | (v == -7) | (v == -8))
+                                 & (bp > -8) & (bp < 0), -9, v))
+
+        if ge_high1:
+            r148 = bhi & (res > 6) & (res > 7)
+            bnd = jnp.where(b01, bA,
+                            jnp.where(b2m, bB,
+                                      jnp.where(bhi & (res == 4), bD,
+                                                jnp.where(bhi & (res > 6)
+                                                          & ~r148, bE,
+                                                          case_nop))))
+            rf_new = jnp.where(b3m, 144,
+                               jnp.where(r148, 148,
+                                         jnp.where(bhi, 141,
+                                                   jnp.where(low, 0,
+                                                             mark))))
+        else:
+            bnd = jnp.where(b01, bA,
+                            jnp.where(b2m, bB,
+                                      jnp.where(b3m, bC,
+                                                jnp.where(bhi & (res == 4),
+                                                          bD,
+                                                          jnp.where(
+                                                              bhi
+                                                              & (res > 6),
+                                                              bE,
+                                                              case_nop)))))
+            rf_new = jnp.where(bhi, 141, jnp.where(low, 0, mark))
+
+        # mark-path code map
+        hi = ~low
+        code = jnp.where(
+            mark == 14000, 140, jnp.where(
+                mark == 14500, 145, jnp.where(
+                    mark == 12200, 122, jnp.where(
+                        mark == 12100, 121, jnp.where(
+                            mark == 12300, 123, jnp.where(
+                                mark == 12400, 124, jnp.where(
+                                    mark == 14100, 141, jnp.where(
+                                        mark == 12500, 125, jnp.where(
+                                            mark == 12600, 126,
+                                            149)))))))))
+        rf_new = jnp.where(hi, code, rf_new)
+
+        n1 = (jnp.where(b3m & jnp.bool_(ge_high1), 0, 0)
+              + bhi.astype(jnp.int32)
+              + ((bhi & (res > 6) & (res > 7)).astype(jnp.int32)
+                 if ge_high1 else 0)
+              + (hi & ((code == 140) | (code == 141) | (code == 125)
+                       | (code == 126) | (code == 149))).astype(jnp.int32))
+        n3 = (hi & ((code == 122) | (code == 121) | (code == 123)
+                    | (code == 124) | (code == 125)
+                    | (code == 126))).astype(jnp.int32)
+        n5 = (((b3m.astype(jnp.int32)
+                + (bhi & (res > 6) & (res > 7)).astype(jnp.int32))
+               if ge_high1 else jnp.zeros_like(res))
+              + (hi & ((code == 145) | (code == 149))).astype(jnp.int32))
+        stats = jnp.stack([jnp.sum(n1, -1), jnp.sum(n3, -1),
+                           jnp.sum(n5, -1)], -1)
+        return bnd, (rf_new, bnd, stats)
+
+    return step
+
+
+def classify_device(plane, res256, quality: int, res_setting: int):
+    """ops.residue.res256_classify on (B,512,512) planes + (B,256,256)
+    res256.  Returns (plane', res256', n1, n3, n5)."""
+    from nhwcodec_tpu import tables as T
+
+    plane = jnp.asarray(plane)
+    res256 = jnp.asarray(res256)
+    flags = (quality >= T.HIGH1, res_setting)
+    I = plane.astype(jnp.int32)
+    rf = res256.astype(jnp.int32)
+    # xs[r]: pf row r cols 0..255, rf row r, band value (j, 256+r)
+    xs = (jnp.swapaxes(I[:, :256, :256], 0, 1),
+          jnp.swapaxes(rf, 0, 1),
+          jnp.swapaxes(I[:, :256, 256:512], 0, 2).swapaxes(1, 2))
+    bnd0 = I[:, :256, 255]
+    _, (rf_out, bnd_out, stats) = jax.lax.scan(
+        _classify_step(flags), bnd0, xs)
+    out = I.at[:, :256, 256:512].set(
+        jnp.swapaxes(jnp.swapaxes(bnd_out, 0, 1), 1, 2))
+    rf2 = jnp.swapaxes(rf_out, 0, 1)
+    tot = jnp.sum(stats, axis=0)       # (B, 3)
+    return (out.astype(jnp.int16), rf2.astype(jnp.int16),
+            tot[:, 0], tot[:, 1], tot[:, 2])
