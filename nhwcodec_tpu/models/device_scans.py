@@ -1126,3 +1126,277 @@ def classify_device(plane, res256, quality: int, res_setting: int):
     tot = jnp.sum(stats, axis=0)       # (B, 3)
     return (out.astype(jnp.int16), rf2.astype(jnp.int16),
             tot[:, 0], tot[:, 1], tot[:, 2])
+
+
+# ---------------------------------------------------------------------------
+# E12 streams: positional side-stream build + finish
+# (ops/residue.build_positional_stream / dedupe_markers /
+#  delta_pair_pack / _pack_bits / finish_stream)
+
+P_MAX = SZ + 512
+
+
+def _compact(mask, vals, fill, size):
+    """Rank-compact vals[mask] into a (B, size) buffer (row-major
+    order preserved); returns (buf, counts)."""
+    b, n = mask.shape
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=1) - mask
+    rowO = (jnp.arange(b, dtype=jnp.int32) * size)[:, None]
+    seq = jnp.arange(b * n, dtype=jnp.int32).reshape(b, n)
+    idx = jnp.where(mask & (rank < size), rank + rowO,
+                    b * size + seq).reshape(-1)
+    buf = jnp.full(b * size, fill, vals.dtype)
+    buf = buf.at[idx].set(vals.reshape(-1), mode="drop",
+                          unique_indices=True)
+    cnt = jnp.sum(mask.astype(jnp.int32), axis=1)
+    return buf.reshape(b, size), cnt
+
+
+@functools.partial(jax.jit, static_argnames=("word_bits",))
+def positional_stream_device(rf, wt, rt, word_bits: int):
+    """build_positional_stream + finish_stream on a (B,256,256) int16
+    post-classify res256.  Returns (rf', packed, n_packed, bit_bytes,
+    n_nonmarker, word_bytes, n_words); the host slices the sections by
+    the counts ((n>>3)+1 block sizing as in the C)."""
+    b = rf.shape[0]
+    code = rf.astype(jnp.int32).reshape(b, SZ)
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (SZ,), 0) & 255
+    wt = jnp.asarray(wt, jnp.int32)
+    rt = jnp.asarray(rt, jnp.int32)
+    in_tab = (code >= 0) & (code < 256)
+    cw = wt[jnp.clip(code, 0, 255)]
+    is_code = in_tab & (cw >= 0) & (jcol < D - 2)
+    marker = jcol == D - 2
+    emit = marker | is_code
+    pos_val = jnp.where(marker, D - 2, jcol)
+    rf_new = jnp.where(is_code, rt[jnp.clip(code, 0, 255)], code)
+    rf_new = jnp.where(marker | (jcol == D - 1), 0, rf_new)
+
+    pos, npos = _compact(emit, pos_val, jnp.int32(1 << 20), P_MAX)
+    wvals = cw
+    wmask = is_code
+    words, nwords = _compact(wmask, wvals, jnp.int32(0), SZ)
+
+    # dedupe isolated ascending-neighbour markers
+    idx = jax.lax.broadcasted_iota(jnp.int32, (P_MAX,), 0)
+    prev = _flat_shift_r(pos, 1, 1 << 20)
+    nxt = _flat_shift_l(pos, 1, 1 << 20)
+    mid = (idx >= 1) & (idx < (npos - 1)[:, None])
+    drop = mid & (pos == D - 2) & (prev != D - 2) & (nxt != D - 2) \
+        & (prev > nxt)
+    keep = (idx < npos[:, None]) & ~drop
+    ded, nded = _compact(keep, pos, jnp.int32(1 << 20), P_MAX)
+
+    # delta pair pack: 2-state skip walk over the deduped list
+    sr = ded >> 1
+    d1 = sr - _flat_shift_r(sr, 1, 0)
+    d2 = _flat_shift_l(sr, 1, 0) - sr
+    pair = (d1 >= 0) & (d1 < 8) & (d2 >= 0) & (d2 < 16) & (idx >= 1)
+    k = jnp.where(pair, 2, 1)
+    before = _skip_walk_states(k)
+    live = idx < (nded - 1)[:, None]
+    emit2 = (idx == 0) | ((before == 0) & (idx >= 1) & live)
+    byte = jnp.where(idx == 0, sr,
+                     jnp.where(pair, 128 + (d1 << 4) + d2, sr))
+    packed, npacked = _compact(emit2, byte, jnp.int32(0), P_MAX)
+
+    # bit plane of non-marker positions (LSBs, 8 per byte)
+    nm = (ded != D - 2) & (idx < nded[:, None])
+    nmv, n_nm = _compact(nm, ded & 1, jnp.int32(0), P_MAX)
+    bits = nmv.reshape(b, P_MAX // 8, 8)
+    w8 = (jnp.arange(8, dtype=jnp.int32))[::-1]
+    bit_bytes = jnp.sum(bits << w8, axis=2).astype(jnp.uint8)
+
+    # word plane (1- or 2-bit entries)
+    wb = words.reshape(b, SZ // 8, 8)
+    if word_bits == 1:
+        word_bytes = jnp.sum((wb & 1) << w8, axis=2).astype(jnp.uint8)
+    else:
+        w4 = (2 * jnp.arange(4, dtype=jnp.int32))[::-1]
+        b1 = jnp.sum((wb[:, :, :4] & 3) << w4, axis=2)
+        b2 = jnp.sum((wb[:, :, 4:] & 3) << w4, axis=2)
+        word_bytes = jnp.stack([b1, b2], axis=2).reshape(
+            b, SZ // 4).astype(jnp.uint8)
+
+    return (rf_new.reshape(b, D, D).astype(jnp.int16), packed, npacked,
+            bit_bytes, n_nm, word_bytes, nwords)
+
+
+# ---------------------------------------------------------------------------
+# UV scans: compare ladder, sentinel marking, LL2 byte-coding
+# (models/encoder._uv_compare_ladder / _uv_sentinel_marking /
+#  encode_uv's LL2 loop; encoder/nhw_encoder.c:2316-2536)
+
+
+@functools.partial(jax.jit, static_argnames=("strict",))
+def uv_compare_ladder_device(jpeg, process, res256, oob0, strict: bool):
+    """(B,256,256) jpeg/process + (B,128,128) res256 + per-image oob0
+    scalar; writes the 128x128 LL quadrant of jpeg.  Fully parallel:
+    every read is an initial value."""
+    p = process.astype(jnp.int32)[:, :128, :128]
+    rfl = res256.astype(jnp.int32).reshape(res256.shape[0], -1)
+    r = rfl.reshape(-1, 128, 128)
+    # next LL position (flat e+1 crosses into col 128 of process at
+    # j=127; rf cnt+1 crosses rows, oob0 at the last)
+    pe1 = process.astype(jnp.int32)[:, :128, 1:129]
+    rn = jnp.concatenate([rfl[:, 1:], oob0.astype(jnp.int32)[:, None]],
+                         axis=1).reshape(-1, 128, 128)
+    scan = p - r
+    nxt = pe1 - rn
+    pos_edge = (nxt > 0) if strict else (nxt >= 0)
+    neg_edge = (nxt < 0) if strict else (nxt <= 0)
+    k = jnp.where(scan > 10, -6, jnp.where(
+        scan > 7, -3, jnp.where(
+            scan > 4, -2, jnp.where(
+                scan > 3, -1, jnp.where(
+                    (scan > 2) & pos_edge, -1, jnp.where(
+                        scan < -10, 6, jnp.where(
+                            scan < -7, 3, jnp.where(
+                                scan < -4, 2, jnp.where(
+                                    scan < -3, 1, jnp.where(
+                                        (scan < -2) & neg_edge,
+                                        1, 0))))))))))
+    out = (r + k).astype(jnp.int16)
+    return jpeg.at[:, :128, :128].set(out)
+
+
+def _uvsm_row(res_uv: int):
+    def decide(d0, d1, band0, band1, band2):
+        pos_pair = (d0 > 3) & (d0 < 7) & (d1 > 2) & (d1 < 7)
+        neg_pair = (d0 > -7) & (d0 < -3) & (d1 > -8) & (d1 < -2)
+        free0 = jnp.abs(band0) < 8
+        free1 = jnp.abs(band1) < 8
+        free2 = jnp.abs(band2) < 8
+        placed_pair = (pos_pair | neg_pair) & (free0 | free1 | free2)
+        big = jnp.abs(d0) > res_uv
+        code_s = jnp.where(d0 > 0, 12900,
+                           jnp.where(d0 == -5,
+                                     jnp.where(d1 < 0, 13000, 0),
+                                     13000))
+        return (pos_pair, placed_pair, big, code_s,
+                free0, free1, free2)
+
+    def apply(visited, pos_pair, placed_pair, big, code_s,
+              free0, free1, free2, band0, band1, band2):
+        fire_pair = placed_pair & visited
+        fire_s = visited & ~placed_pair & big & (code_s != 0)
+        code = jnp.where(fire_pair,
+                         jnp.where(pos_pair, 12400, 12600), code_s)
+        fire = fire_pair | fire_s
+        sel0 = fire & free0
+        sel1 = fire & ~free0 & free1
+        sel2 = fire & ~free0 & ~free1 & free2
+        w0 = jnp.where(sel0, code, band0)
+        w1 = jnp.where(sel1, code, band1)
+        w2 = jnp.where(sel2, code, band2)
+        return fire_pair, w0, w1, w2
+
+    def row(count_start, xs):
+        pf_row, band0, band1, band2, rf_base = xs
+        sl = jax.vmap(lambda rfb, cs: jax.lax.dynamic_slice(
+            rfb, (cs,), (130,)))(rf_base, count_start)
+        d0 = pf_row[:, :128] - sl[:, :128]
+        d1 = pf_row[:, 1:129] - sl[:, 1:129]
+        (pos_pair, placed_pair, big, code_s,
+         f0, f1, f2) = decide(d0, d1, band0, band1, band2)
+        k = jnp.where(placed_pair, 2, 1)
+        before = _skip_walk_states(k)
+        visited = before == 0
+        fire_pair, w0, w1, w2 = apply(
+            visited, pos_pair, placed_pair, big, code_s,
+            f0, f1, f2, band0, band1, band2)
+        # lane 127's d1 read (flat scan+1) lands on this row's OWN
+        # first band slot, which lane 0 may just have written — patch
+        # lane 127 against the updated value
+        d1c = w0[:, 0] - sl[:, 128]
+        (pp_c, plp_c, big_c, cs_c, f0c, f1c, f2c) = decide(
+            d0[:, 127], d1c, band0[:, 127], band1[:, 127],
+            band2[:, 127])
+        fp_c, w0c, w1c, w2c = apply(
+            visited[:, 127], pp_c, plp_c, big_c, cs_c,
+            f0c, f1c, f2c, band0[:, 127], band1[:, 127],
+            band2[:, 127])
+        w0 = w0.at[:, 127].set(w0c)
+        w1 = w1.at[:, 127].set(w1c)
+        w2 = w2.at[:, 127].set(w2c)
+        count_next = count_start + 128 + fp_c.astype(jnp.int32)
+        return count_next, (w0, w1, w2)
+    return row
+
+
+def uv_sentinel_marking_device(process, rf_ext, res_uv: int):
+    """_uv_sentinel_marking on (B,256,256) process planes.
+    rf_ext: (B, 16384+512) int16 (res256 + zero/oob tail).  The count
+    register drifts at row-end pair placements; each row is a static
+    2-state skip walk given its count_start, so the pass is a 128-step
+    scan over rows (the only in-row write feedback is lane 127's flat
+    d1 read of the row's first band slot, patched per row)."""
+    process = jnp.asarray(process)
+    b = process.shape[0]
+    p = process.astype(jnp.int32).reshape(b, -1)
+    rfb = jnp.asarray(rf_ext).astype(jnp.int32)
+    pf_rows = jnp.swapaxes(
+        p[:, : 128 * 256].reshape(b, 128, 256)[:, :, :130], 0, 1)
+    half = SZ >> 1
+    pp = jnp.concatenate([p, jnp.zeros((b, 256), jnp.int32)], axis=1)
+
+    def seg(off):
+        return jnp.swapaxes(
+            pp[:, off: off + 128 * 256].reshape(b, 128, 256)[:, :, :128],
+            0, 1)
+
+    band0, band1, band2 = seg(128), seg(half), seg(half + 128)
+    rfB = jnp.broadcast_to(rfb[None], (128,) + rfb.shape)
+    xs = (pf_rows, band0, band1, band2, rfB)
+    cnt0 = jnp.zeros((b,), jnp.int32)
+    _, (w0, w1, w2) = jax.lax.scan(_uvsm_row(res_uv), cnt0, xs)
+
+    # bands 0/1/2 live at flat offsets 128 / half / half+128 with row
+    # stride 256 — the (256,256) view quadrants
+    full = p.reshape(b, 256, 256)
+    full = full.at[:, 0:128, 128:256].set(jnp.swapaxes(w0, 0, 1))
+    full = full.at[:, 128:256, 0:128].set(jnp.swapaxes(w1, 0, 1))
+    full = full.at[:, 128:256, 128:256].set(jnp.swapaxes(w2, 0, 1))
+    return full.astype(jnp.int16)
+
+
+@jax.jit
+def ll2_code_uv_device(process):
+    """encode_uv's LL2 byte-coding loop: 64x64 -> tree1_uv[4096] +
+    exw triples + zeroed quadrant.  a_out always advances by 1, so
+    tree1 indices are static; escapes take the last non-escape value
+    (a segmented fill).  Returns (process', tree1_uv, exw_buf(B,N,3),
+    n_exw)."""
+    b = process.shape[0]
+    p = process.astype(jnp.int32)
+    v = p[:, :64, :64].reshape(b, 4096)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (4096,), 0)
+    esc_p = (v > 255) & (idx > 0)
+    esc_n = (v < 0) & (idx > 0)
+    esc = esc_p | esc_n
+    clip = jnp.clip(v, 0, 255)
+    plain_val = clip & 254
+    # last non-escape value at or before k-1
+    src = jax.lax.cummax(jnp.where(~esc, idx, -1), axis=1)
+    prev_src = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32), src[:, :-1]], axis=1)
+    fillv = jnp.take_along_axis(plain_val, jnp.maximum(prev_src, 0),
+                                axis=1)
+    tree1 = jnp.where(esc, fillv, plain_val).astype(jnp.uint8)
+    rr = jnp.broadcast_to(idx >> 6, esc.shape)
+    jj = idx & 63
+    ev = jnp.stack([rr, jnp.where(esc_p, jj + 128, jj),
+                    jnp.where(esc_p, jnp.minimum(v - 255, 255),
+                              -jnp.maximum(v, -255))], axis=-1)
+    exw, n_exw = _compact(esc, ev[..., 0] * 0 + 1, jnp.int32(0), 4096)
+    # compact the triples: flatten (B, 4096, 3) by escape mask
+    rank = jnp.cumsum(esc.astype(jnp.int32), axis=1) - esc
+    rowO = (jnp.arange(b, dtype=jnp.int32) * 4096)[:, None]
+    seq = jnp.arange(b * 4096, dtype=jnp.int32).reshape(b, 4096)
+    tgt = jnp.where(esc, rank + rowO, b * 4096 + seq).reshape(-1)
+    buf = jnp.zeros((b * 4096, 3), jnp.int32)
+    buf = buf.at[tgt].set(ev.reshape(-1, 3), mode="drop",
+                          unique_indices=True)
+    out = p.at[:, :64, :64].set(0)
+    return (out.astype(jnp.int16), tree1.reshape(b, 4096),
+            buf.reshape(b, 4096, 3), n_exw)
