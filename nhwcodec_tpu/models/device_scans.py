@@ -1400,3 +1400,445 @@ def ll2_code_uv_device(process):
     out = p.at[:, :64, :64].set(0)
     return (out.astype(jnp.int16), tree1.reshape(b, 4096),
             buf.reshape(b, 4096, 3), n_exw)
+
+
+# ---------------------------------------------------------------------------
+# E17: UV LL2 run/delta compression (ops/ll2.uv_highres_compression,
+# encoder/compress_pixel.c:878-1022) — a static-successor walk over the
+# immutable h buffer, resolved with pointer doubling.
+
+
+def _walk_visited(nxt, start: int = 1):
+    """Visited mask of the monotone walk start -> nxt[start] -> ... over
+    (B, n) successor arrays (nxt[i] > i), via pointer doubling: each
+    round ORs the current frontier's 2^k-jump targets into the visited
+    set and squares the jump table.  All walks here are forward-
+    monotone, so visit order equals index order."""
+    b, n = nxt.shape
+    J = jnp.clip(nxt, 0, n)                      # n = parked self-loop
+    Jext = jnp.concatenate([J, jnp.full((b, 1), n, jnp.int32)], axis=1)
+    visited = jnp.zeros((b, n + 1), bool).at[:, start].set(True)
+    rowO = (jnp.arange(b, dtype=jnp.int32) * (n + 1))[:, None]
+    k = 1
+    while k < n:
+        flat = jnp.where(visited, Jext + rowO,
+                         b * (n + 1)).reshape(-1)
+        upd = jnp.zeros(b * (n + 1), bool).at[flat].max(
+            jnp.ones_like(flat, dtype=bool), mode="drop")
+        visited = visited | upd.reshape(b, n + 1)
+        Jext = jnp.take_along_axis(Jext, Jext, axis=1)
+        k <<= 1
+    return visited[:, :n]
+
+
+@jax.jit
+def uv_highres_device(h):
+    """(B, 8192+80) int32 (&252-masked UV tree plane + oob tail) ->
+    (bytes buffer (B, 8192+8), count).  Every branch emits exactly one
+    byte; the walk successor and emissions are pure functions of h."""
+    b, npad = h.shape
+    n = 8192
+    idx = jax.lax.broadcasted_iota(jnp.int32, (npad,), 0)
+    hm1 = _flat_shift_r(h, 1, 0)
+    h1 = _flat_shift_l(h, 1, 0)
+    h2 = _flat_shift_l(h, 2, 0)
+    scan = h - hm1
+    count = h1 - h
+    # E[i]: streak of equal pairs starting at k = i+1
+    # (eq[k] = h[k+1] == h[k]); next-false via reverse cummin
+    eq = h1 == h
+    nf = jax.lax.cummin(
+        jnp.where(~eq, idx, 1 << 20)[:, ::-1], axis=1)[:, ::-1]
+    E = jnp.take_along_axis(
+        jnp.concatenate([nf, jnp.full((b, 1), 1 << 20, jnp.int32)],
+                        axis=1),
+        jnp.minimum(idx + 1, npad - 1)[None].repeat(b, 0), axis=1) \
+        - (idx + 1)
+    E = jnp.clip(E, 0, 1 << 19)
+
+    runb = (scan == 0) & (count == 0)
+    a_run = jnp.minimum(E, 14)
+    res1 = a_run >= 7
+    base = idx + a_run + 2
+
+    baseB = base
+    def gatb(off):
+        return jnp.take_along_axis(
+            h, jnp.clip(baseB + off, 0, npad - 1), axis=1)
+
+    d1 = gatb(0) - gatb(-1)
+    d2 = gatb(1) - gatb(0)
+    d3 = gatb(2) - gatb(1)
+    code0 = 64 + (a_run << 3)
+    run_code = jnp.where(
+        d1 == 4, jnp.where(d2 == -4, jnp.where(d3 == 0, code0 + 3,
+                                               code0 + 2), code0 + 1),
+        jnp.where(d1 == -4,
+                  jnp.where(d2 == 4, jnp.where(d3 == 0, code0 + 4,
+                                               code0 + 5), code0 + 6),
+                  jnp.where(d1 == 8, code0 + 7, code0)))
+    run_adv = jnp.where(
+        d1 == 4, jnp.where(d2 == -4, jnp.where(d3 == 0, 3, 2), 1),
+        jnp.where(d1 == -4,
+                  jnp.where(d2 == 4, jnp.where(d3 == 0, 3, 2), 1),
+                  jnp.where(d1 == 8, 1, 0)))
+    run_nxt = jnp.where(res1, base, baseB + run_adv)
+    run_emit = jnp.where(res1, 64 + 56 + a_run - 7, run_code)
+
+    # non-run branches
+    in4 = (jnp.abs(scan) <= 4) & (jnp.abs(count) <= 4)
+    resv = jnp.where(
+        (scan == 0) & (count == 4), 0, jnp.where(
+            (scan == 0) & (count == -4), 1, jnp.where(
+                (scan == 4) & (count == 0), 2, jnp.where(
+                    (scan == -4) & (count == 0), 3, jnp.where(
+                        (scan == 4) & (count == 4), 4, jnp.where(
+                            (scan == 4) & (count == -4), 5, jnp.where(
+                                (scan == -4) & (count == 4), 6,
+                                jnp.where((scan == -4) & (count == -4),
+                                          7, 0))))))))
+    dd3 = h2 - h1
+    quad = (dd3 == 0) | (dd3 == 4) | (dd3 == -4) | (dd3 == 8)
+    q_add = jnp.where(dd3 == 0, 0, jnp.where(dd3 == 4, 1,
+                                             jnp.where(dd3 == -4, 2,
+                                                       3)))
+    s16 = scan + 16
+    c16 = count + 16
+    pair_b = (s16 << 1) + (c16 >> 2)
+    in16 = (jnp.abs(scan) <= 16) & (jnp.abs(count) <= 16)
+    esc16 = (s16 == 32) | (c16 == 32)
+    nr_emit = jnp.where(
+        in4, jnp.where(quad, 192 + (resv << 2) + q_add, pair_b),
+        jnp.where(in16, jnp.where(esc16, 128 + (h >> 2), pair_b),
+                  128 + (h >> 2)))
+    nr_nxt = jnp.where(
+        in4, jnp.where(quad, idx + 3, idx + 2),
+        jnp.where(in16 & ~esc16, idx + 2, idx + 1))
+
+    nxt = jnp.where(runb, run_nxt, nr_nxt)
+    emit = jnp.where(runb, run_emit, nr_emit)
+    # the walk only runs for i < n
+    nxt = jnp.where(idx < n, nxt, npad)
+    visited = _walk_visited(jnp.minimum(nxt, npad), 1)
+    live = visited & (idx < n) & (idx >= 1)
+    vals, cnt = _compact(live, emit, jnp.int32(0), n + 8)
+    first = h[:, 0][:, None]
+    out = jnp.concatenate([first, vals[:, : n + 7]], axis=1)
+    return out, cnt + 1
+
+
+# ---------------------------------------------------------------------------
+# E16: Y LL2 run/delta compression (ops/ll2.y_highres_compression,
+# encoder/compress_pixel.c:471-876): mode-select stats in closed form
+# per equal-pair run, one mode-parametrized walk, and the squeeze pass
+# as a second walk over the emitted buffer.
+
+YH_N = 16384
+
+
+@functools.partial(jax.jit, static_argnames=("q_gt_low5",))
+def y_highres_device(h, ch_res, q_gt_low5: bool):
+    """(B, 16384+8257) int32 h (tree1 + heap tail), (B, 16384) ch_res.
+    Returns (out, n_out, res_low, hr_word, n_hw, hr_mem, n_hm)."""
+    b, npad = h.shape
+    n = YH_N
+    cap = npad - 1
+    idx = jax.lax.broadcasted_iota(jnp.int32, (npad,), 0)
+    hm1 = _flat_shift_r(h, 1, 0)
+    h1 = _flat_shift_l(h, 1, 0)
+    h2 = _flat_shift_l(h, 2, 0)
+    scan = h - hm1
+    count = h1 - h
+    eq = (h1 == h) & (idx + 1 < cap)     # pair exists at k=idx+1
+    nf = jax.lax.cummin(
+        jnp.where(~eq, idx, 1 << 20)[:, ::-1], axis=1)[:, ::-1]
+    E = jnp.take_along_axis(
+        jnp.concatenate([nf, jnp.full((b, 1), 1 << 20, jnp.int32)],
+                        axis=1),
+        jnp.broadcast_to(jnp.minimum(idx + 1, npad - 1), (b, npad)),
+        axis=1) - (idx + 1)
+    E = jnp.clip(E, 0, 1 << 19)
+
+    # ---- mode select (closed form per maximal pair-run) ----
+    # pair positions k (h[k]==h[k-1]) = eq shifted: pr[k] = eq[k-1]
+    pr = _flat_shift_r(eq, 1, False)
+    run_start = pr & ~_flat_shift_r(pr, 1, False)
+    run_end = pr & ~_flat_shift_l(pr, 1, False)
+    sidx = jax.lax.cummax(jnp.where(run_start, idx, -1), axis=1)
+    P = jnp.where(run_end, idx - sidx + 1, 0)
+    s0 = jnp.where(run_end, sidx, 1 << 20)
+    started = s0 < n        # the outer loop only reaches starts < 16384
+    full16 = P // 16
+    centr = jnp.clip((n - s0 + 15) // 16, 0, 1 << 19)
+    Yr = jnp.where(started, jnp.minimum(full16, centr), 0)
+    # the remainder is reached iff its entry is still inside the outer
+    # bound; runs crossing n push the walk past n so later runs have
+    # started == False automatically
+    rem_ok = started & (s0 + 16 * full16 < n)
+    ar = Yr + jnp.where(rem_ok & ((P % 16) >= 8), 1, 0)
+    Y = jnp.sum(Yr, axis=1)
+    aa = jnp.sum(ar, axis=1) + Y
+    res_low = jnp.where(Y > 299, 2, jnp.where(aa > 179, 1, 0))
+
+    # ---- per-node successor + emissions for each mode ----
+    def gat(off, base):
+        return jnp.take_along_axis(
+            h, jnp.clip(base + off, 0, npad - 1), axis=1)
+
+    def esc_node():
+        if q_gt_low5:
+            e = (jnp.full_like(h, 128),
+                 128 + (h >> 1),
+                 128 + (h1 >> 1))
+            return e, 3, idx + 2
+        e = (jnp.full_like(h, 128), 128 + (h >> 1),
+             jnp.zeros_like(h))
+        return e, 2, idx + 1
+
+    (esc_e, esc_len, esc_nxt) = esc_node()
+    run0 = (scan == 0) & (count == 0)
+    e3_ok = (idx < n - 2) & (jnp.abs(h2 - h1) <= 32)
+    e3v = h2 - h1 + 32
+
+    def triple(s_, c_):
+        cc = c_ >> 1
+        return (jnp.full_like(h, 64), 64 + s_ + (cc >> 3),
+                ((cc & 7) << 5) + (e3v >> 1))
+
+    def mode0():
+        a = jnp.where(E >= 1, 1, 0)
+        base = idx + a + 2
+        d1 = gat(0, base) - gat(-1, base)
+        d2 = gat(1, base) - gat(0, base)
+        code = a << 3
+        c_add = jnp.where(
+            d1 == 2, jnp.where(d2 == -2, 2, jnp.where(d2 == 0, 3, 1)),
+            jnp.where(d1 == -2,
+                      jnp.where(d2 == 2, 4, jnp.where(d2 == 0, 5, 6)),
+                      jnp.where(d1 == 4, 7, 0)))
+        adv = jnp.where(
+            d1 == 2, jnp.where((d2 == -2) | (d2 == 0), 2, 1),
+            jnp.where(d1 == -2, jnp.where((d2 == 2) | (d2 == 0), 2, 1),
+                      jnp.where(d1 == 4, 1, 0)))
+        run_e = code + c_add
+        run_nxt = base + adv
+        in68 = (jnp.abs(scan) <= 6) & (jnp.abs(count) <= 8)
+        s_ = scan + 6
+        c_ = count + 8
+        edge = (s_ == 12) | (c_ == 16)
+        s2 = s_ + 26
+        c2 = c_ + 8
+        esc_in = (s2 == 64) | (c2 == 32) | (e3v == 64)
+        tr = triple(s2, c2)
+        plain = jnp.where(s_ < 8, 32 + (s_ << 2) + (c_ >> 1),
+                          jnp.where(s_ == 8, 16 + (c_ >> 1),
+                                    24 + (c_ >> 1)))
+        in3216 = (jnp.abs(scan) <= 32) & (jnp.abs(count) <= 16) & e3_ok
+        s3 = scan + 32
+        c3 = count + 16
+        esc_in3 = (s3 == 64) | (c3 == 32) | (e3v == 64)
+        tr3 = triple(s3, c3)
+        # compose
+        e0 = jnp.where(run0, run_e,
+                       jnp.where(in68,
+                                 jnp.where(edge,
+                                           jnp.where(e3_ok & ~esc_in,
+                                                     tr[0], esc_e[0]),
+                                           plain),
+                                 jnp.where(in3216 & ~esc_in3, tr3[0],
+                                           esc_e[0])))
+        e1 = jnp.where(in68 & edge & e3_ok & ~esc_in & ~run0, tr[1],
+                       jnp.where(~run0 & ~in68 & in3216 & ~esc_in3,
+                                 tr3[1], esc_e[1]))
+        e2 = jnp.where(in68 & edge & e3_ok & ~esc_in & ~run0, tr[2],
+                       jnp.where(~run0 & ~in68 & in3216 & ~esc_in3,
+                                 tr3[2], esc_e[2]))
+        ln = jnp.where(run0, 1,
+                       jnp.where(in68,
+                                 jnp.where(edge,
+                                           jnp.where(e3_ok & ~esc_in, 3,
+                                                     esc_len), 1),
+                                 jnp.where(in3216 & ~esc_in3, 3,
+                                           esc_len)))
+        nxt = jnp.where(run0, run_nxt,
+                        jnp.where(in68,
+                                  jnp.where(edge,
+                                            jnp.where(e3_ok & ~esc_in,
+                                                      idx + 3, esc_nxt),
+                                            idx + 2),
+                                  jnp.where(in3216 & ~esc_in3, idx + 3,
+                                            esc_nxt)))
+        isesc = jnp.where(run0, False,
+                          jnp.where(in68,
+                                    edge & ~(e3_ok & ~esc_in),
+                                    ~(in3216 & ~esc_in3)))
+        return e0, e1, e2, ln, nxt, isesc
+
+    def mode1():
+        a = jnp.minimum(E, 7)
+        base = idx + a + 2
+        d1 = gat(0, base) - gat(-1, base)
+        code = a << 2
+        c_add = jnp.where(d1 == 2, 1,
+                          jnp.where(d1 == -2, 2,
+                                    jnp.where(d1 == 0, 3, 0)))
+        adv = jnp.where((d1 == 2) | (d1 == -2) | (d1 == 0), 1, 0)
+        run_e = code + c_add
+        run_nxt = base + adv
+        in48 = (jnp.abs(scan) <= 4) & (jnp.abs(count) <= 8)
+        s_ = scan + 4
+        c_ = count + 8
+        edge = (s_ == 8) | (c_ == 16)
+        s2 = s_ + 28
+        c2 = c_ + 8
+        esc_in = (s2 == 64) | (c2 == 32) | (e3v == 64)
+        tr = triple(s2, c2)
+        plain = 32 + (s_ << 2) + (c_ >> 1)
+        in3216 = (jnp.abs(scan) <= 32) & (jnp.abs(count) <= 16) & e3_ok
+        s3 = scan + 32
+        c3 = count + 16
+        esc_in3 = (s3 == 64) | (c3 == 32) | (e3v == 64)
+        tr3 = triple(s3, c3)
+        e0 = jnp.where(run0, run_e,
+                       jnp.where(in48,
+                                 jnp.where(edge,
+                                           jnp.where(e3_ok & ~esc_in,
+                                                     tr[0], esc_e[0]),
+                                           plain),
+                                 jnp.where(in3216 & ~esc_in3, tr3[0],
+                                           esc_e[0])))
+        e1 = jnp.where(in48 & edge & e3_ok & ~esc_in & ~run0, tr[1],
+                       jnp.where(~run0 & ~in48 & in3216 & ~esc_in3,
+                                 tr3[1], esc_e[1]))
+        e2 = jnp.where(in48 & edge & e3_ok & ~esc_in & ~run0, tr[2],
+                       jnp.where(~run0 & ~in48 & in3216 & ~esc_in3,
+                                 tr3[2], esc_e[2]))
+        ln = jnp.where(run0, 1,
+                       jnp.where(in48,
+                                 jnp.where(edge,
+                                           jnp.where(e3_ok & ~esc_in, 3,
+                                                     esc_len), 1),
+                                 jnp.where(in3216 & ~esc_in3, 3,
+                                           esc_len)))
+        nxt = jnp.where(run0, run_nxt,
+                        jnp.where(in48,
+                                  jnp.where(edge,
+                                            jnp.where(e3_ok & ~esc_in,
+                                                      idx + 3, esc_nxt),
+                                            idx + 2),
+                                  jnp.where(in3216 & ~esc_in3, idx + 3,
+                                            esc_nxt)))
+        isesc = jnp.where(run0, False,
+                          jnp.where(in48,
+                                    edge & ~(e3_ok & ~esc_in),
+                                    ~(in3216 & ~esc_in3)))
+        return e0, e1, e2, ln, nxt, isesc
+
+    def mode2():
+        a = jnp.minimum(E, 63)
+        run_e = a
+        run_nxt = idx + a + 2
+        in3216 = (jnp.abs(scan) <= 32) & (jnp.abs(count) <= 16) & e3_ok
+        s3 = scan + 32
+        c3 = count + 16
+        esc_in3 = (s3 == 64) | (c3 == 32) | (e3v == 64)
+        tr3 = triple(s3, c3)
+        e0 = jnp.where(run0, run_e,
+                       jnp.where(in3216 & ~esc_in3, tr3[0], esc_e[0]))
+        e1 = jnp.where(~run0 & in3216 & ~esc_in3, tr3[1], esc_e[1])
+        e2 = jnp.where(~run0 & in3216 & ~esc_in3, tr3[2], esc_e[2])
+        ln = jnp.where(run0, 1,
+                       jnp.where(in3216 & ~esc_in3, 3, esc_len))
+        nxt = jnp.where(run0, run_nxt,
+                        jnp.where(in3216 & ~esc_in3, idx + 3, esc_nxt))
+        isesc = ~run0 & ~(in3216 & ~esc_in3)
+        return e0, e1, e2, ln, nxt, isesc
+
+    m0 = mode0()
+    m1 = mode1()
+    m2 = mode2()
+    rl = res_low[:, None]
+
+    def sel(k):
+        return jnp.where(rl == 0, m0[k],
+                         jnp.where(rl == 1, m1[k], m2[k]))
+
+    e0, e1, e2, ln, nxt = (sel(k) for k in range(5))
+    isesc = jnp.where(rl == 0, m0[5], jnp.where(rl == 1, m1[5], m2[5]))
+
+    nxt = jnp.where(idx < n, nxt, npad)
+    visited = _walk_visited(jnp.minimum(nxt, npad), 1)
+    live = visited & (idx < n) & (idx >= 1)
+
+    # hr_word / hr_mem from visited escapes (in index order)
+    esc_live = live & isesc
+    hr_word, n_hw = _compact(
+        esc_live, jnp.concatenate(
+            [ch_res, jnp.zeros((b, npad - n), jnp.int32)], axis=1),
+        jnp.int32(0), YH_N)
+    hr_mem, n_hm = _compact(
+        esc_live, jnp.broadcast_to(idx, (b, npad)), jnp.int32(0), YH_N)
+    if not q_gt_low5:
+        n_hw = jnp.zeros_like(n_hw)
+        n_hm = jnp.zeros_like(n_hm)
+
+    # scatter emissions into the ch buffer (head byte h[0] at 0)
+    CH = 1 << 16
+    lens = jnp.where(live, ln, 0)
+    off = 1 + jnp.cumsum(lens, axis=1) - lens
+    rowO = (jnp.arange(b, dtype=jnp.int32) * CH)[:, None]
+    seq = jnp.arange(b * npad, dtype=jnp.int32).reshape(b, npad)
+    ch = jnp.zeros(b * CH, jnp.int32)
+    for k, ek in enumerate((e0, e1, e2)):
+        mk = live & (ln > k)
+        tgt = jnp.where(mk, off + k + rowO, b * CH + seq).reshape(-1)
+        ch = ch.at[tgt].set(ek.reshape(-1), mode="drop",
+                            unique_indices=True)
+    ch = ch.reshape(b, CH)
+    ch = ch.at[:, 0].set(h[:, 0])
+    n_ch = 1 + jnp.sum(lens, axis=1)
+
+    # ---- squeeze walk over the ch buffer ----
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (CH,), 0)
+    c1 = _flat_shift_l(ch, 1, 0)
+    c2 = _flat_shift_l(ch, 2, 0)
+    is64 = ch == 64
+    is128 = ch == 128
+    if q_gt_low5:
+        sq_nxt = jnp.where(is64 | is128, cidx + 3, cidx + 1)
+        sq_e0 = jnp.where(is64, c1, jnp.where(is128, c2, ch))
+        sq_e1 = c2
+        sq_len = jnp.where(is64, 2, 1)
+    else:
+        sq_nxt = jnp.where(is64, cidx + 3,
+                           jnp.where(is128, cidx + 2, cidx + 1))
+        sq_e0 = jnp.where(is64 | is128, c1, ch)
+        sq_e1 = c2
+        sq_len = jnp.where(is64, 2, 1)
+    bound = (n_ch - 1)[:, None]
+    sq_nxt = jnp.where(cidx < bound, sq_nxt, CH)
+    sq_vis = _walk_visited(jnp.minimum(sq_nxt, CH), 1)
+    sq_live = sq_vis & (cidx >= 1) & (cidx < bound)
+    # the trailing byte: emitted iff the walk lands exactly on n_ch-1
+    tail_hit = jnp.take_along_axis(sq_vis, jnp.maximum(bound, 0),
+                                   axis=1)[:, 0] & (n_ch > 1)[..., ]
+    lens2 = jnp.where(sq_live, sq_len, 0)
+    off2 = 1 + jnp.cumsum(lens2, axis=1) - lens2
+    out = jnp.zeros(b * CH, jnp.int32)
+    seq2 = jnp.arange(b * CH, dtype=jnp.int32).reshape(b, CH)
+    rowO2 = (jnp.arange(b, dtype=jnp.int32) * CH)[:, None]
+    for k, ek in enumerate((sq_e0, sq_e1)):
+        mk = sq_live & (sq_len > k)
+        tgt = jnp.where(mk, off2 + k + rowO2, b * CH + seq2).reshape(-1)
+        out = out.at[tgt].set(ek.reshape(-1), mode="drop",
+                              unique_indices=True)
+    out = out.reshape(b, CH)
+    out = out.at[:, 0].set(ch[:, 0])
+    n_out = 1 + jnp.sum(lens2, axis=1)
+    # append ch[n_ch-1] when the walk hit it
+    lastv = jnp.take_along_axis(ch, jnp.maximum(bound, 0), axis=1)[:, 0]
+    out = jnp.where(
+        (jnp.broadcast_to(cidx, (b, CH)) == n_out[:, None]) & tail_hit[:, None],
+        lastv[:, None], out)
+    n_out = n_out + tail_hit.astype(jnp.int32)
+    return out, n_out, res_low, hr_word, n_hw, hr_mem, n_hm
