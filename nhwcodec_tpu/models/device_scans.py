@@ -1842,3 +1842,148 @@ def y_highres_device(h, ch_res, q_gt_low5: bool):
         lastv[:, None], out)
     n_out = n_out + tail_hit.astype(jnp.int32)
     return out, n_out, res_low, hr_word, n_hw, hr_mem, n_hm
+
+
+# ---------------------------------------------------------------------------
+# E16 head: LL2 byte-coding (ops/ll2.ll2_code_y,
+# encoder/nhw_encoder.c:636-743): the 4-run odd marking pre-pass is a
+# per-row skip walk; the odd-pattern nudges chain within rows only
+# through a parity-suppressing +1 (run parity) and into the next row
+# (a 128-step scan); emissions reuse the last-non-escape fill.
+
+
+def _ll2y_row(gt_low3: bool):
+    def row(pend, xs):
+        # rows are 131 wide: the flat reads at j=126/127 cross into
+        # plane columns 128-129 (the band area)
+        (I_r, I_r1, I_r2, I_r3, r_first, r_le126, r_in124) = xs
+        b = I_r.shape[0]
+        cur = I_r + pend                      # nudges from the row above
+        jc = jax.lax.broadcasted_iota(jnp.int32, (131,), 0)
+        odd = (cur & 1) == 1
+        marked = gt_low3 & (cur > 10000)
+        o1 = (_flat_shift_l(cur) & 1) == 1
+        o2 = (_flat_shift_l(cur, 2) & 1) == 1
+        i2v = _flat_shift_l(cur, 2)
+        # within-row 2a fire (the only within-row writer)
+        out2a = (~marked) & odd & (jc > 0) & o1 & (jc < 126) & o2
+        F2a = out2a & (jnp.abs(cur - i2v) > 1) & gt_low3
+        fire = _run_parity_fire(F2a)
+        nudged = _flat_shift_r(fire, 1, False)
+        v = cur + nudged
+        odd_v = (v & 1) == 1
+        # cross-row nudges (targets row r+1 col j)
+        n0 = I_r1
+        n1 = _flat_shift_l(I_r1)
+        n2 = _flat_shift_l(I_r1, 2)
+        m2 = I_r2
+        m3 = I_r3
+        o2a_tail = (jc < 126) & o2
+        b2b = ((~marked) & odd_v & (jc > 0) & o1 & ~o2a_tail & r_le126
+               & ((n0 & 1) == 1) & ((n1 & 1) == 1) & ((n2 & 1) == 0)
+               & (n0 < 10000) & gt_low3)
+        b3 = ((~marked) & odd_v & ~((jc > 0) & o1) & r_in124
+              & ((n0 & 1) == 1) & ((n1 & 1) == 1) & ((m2 & 1) == 1)
+              & ((m3 & 1) == 0) & (n0 < 10000) & gt_low3)
+        pend_next = (b2b | b3).astype(jnp.int32)
+        pend_next = pend_next.at[:, 128:].set(0)
+        # emission value: unmark on the nudged value
+        is24 = gt_low3 & (v > 20000)
+        vem = jnp.where(is24, v - 24000,
+                        jnp.where(gt_low3 & (v > 10000), v - 16000, v))
+        return pend_next, (vem[:, :128], is24[:, :128])
+    return row
+
+
+@functools.partial(jax.jit, static_argnames=("gt_low3",))
+def ll2_code_y_device(plane, gt_low3: bool):
+    """ll2_code_y on (B,512,512) int16 planes.  Returns (plane',
+    tree1(B,16384) u8, ch_res(B,16384) u8, exw(B,16384,3), n_exw,
+    res4(B, 16512), n_res4)."""
+    b = plane.shape[0]
+    I = jnp.asarray(plane).astype(jnp.int32)
+    ll = I[:, :128, :128]
+
+    if gt_low3:
+        # 4-run odd marking: per-row skip walk (j < 125)
+        o = (ll & 1) == 1
+        o1 = _zpad(o[..., 1:], [(-1, (0, 1))], False)
+        o2 = _zpad(o[..., 2:], [(-1, (0, 2))], False)
+        o3 = _zpad(o[..., 3:], [(-1, (0, 3))], False)
+        l3 = _zpad(ll[..., 3:], [(-1, (0, 3))], 0)
+        jc = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        match = (jc < 125) & o & o1 & o2 & o3 \
+            & (jnp.abs(ll - l3) > 1)
+        k = jnp.where(match, 4, 1)
+        before = _skip_walk_states(k)
+        fired = match & (before == 0)
+        add = (fired.astype(jnp.int32) * 24000
+               + _zpad(fired[..., :-1], [(-1, (1, 0))],
+                       False).astype(jnp.int32) * 16000
+               + _zpad(fired[..., :-2], [(-1, (2, 0))],
+                       False).astype(jnp.int32) * 16000
+               + _zpad(fired[..., :-3], [(-1, (3, 0))],
+                       False).astype(jnp.int32) * 16000)
+        ll = ll + add
+
+    # nudge scan over rows (131-wide: flat reads cross into cols
+    # 128-130 of the plane, which the pre-pass never marks)
+    llw = I.at[:, :128, :128].set(ll)[:, :, :131]
+    llp = jnp.concatenate(
+        [llw[:, :131], jnp.zeros((b, 3, 131), jnp.int32)], axis=1)
+    rows = jnp.arange(128)
+    xs = (jnp.swapaxes(llw[:, :128], 0, 1),
+          jnp.swapaxes(llp[:, 1:129], 0, 1),
+          jnp.swapaxes(llp[:, 2:130], 0, 1),
+          jnp.swapaxes(llp[:, 3:131], 0, 1),
+          rows == 0, rows <= 126, (rows >= 1) & (rows <= 124))
+    pend0 = jnp.zeros((b, 131), jnp.int32)
+    _, (vem, is24) = jax.lax.scan(_ll2y_row(gt_low3), pend0, xs)
+    vem = jnp.swapaxes(vem, 0, 1).reshape(b, 16384)
+    is24 = jnp.swapaxes(is24, 0, 1).reshape(b, 16384)
+
+    # emissions (escape fill like the UV coder)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (16384,), 0)
+    esc_p = (vem > 255) & (idx > 0)
+    esc_n = (vem < 0) & (idx > 0)
+    esc = esc_p | esc_n
+    clip = jnp.clip(vem, 0, 255)
+    src = jax.lax.cummax(jnp.where(~esc, idx, -1), axis=1)
+    prev_src = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32), src[:, :-1]], axis=1)
+    fill_t = jnp.take_along_axis(clip & 254, jnp.maximum(prev_src, 0),
+                                 axis=1)
+    tree1 = jnp.where(esc, fill_t, clip & 254).astype(jnp.uint8)
+    ch_res = jnp.where(esc, fill_t, clip).astype(jnp.uint8)
+    rr = jnp.broadcast_to(idx >> 7, esc.shape)
+    jj = idx & 127
+    ev = jnp.stack([rr, jnp.where(esc_p, jj + 128, jj),
+                    jnp.where(esc_p, jnp.minimum(vem - 255, 255),
+                              -jnp.maximum(vem, -255))], axis=-1)
+    rank = jnp.cumsum(esc.astype(jnp.int32), axis=1) - esc
+    rowO = (jnp.arange(b, dtype=jnp.int32) * 16384)[:, None]
+    seq = jnp.arange(b * 16384, dtype=jnp.int32).reshape(b, 16384)
+    tgt = jnp.where(esc, rank + rowO, b * 16384 + seq).reshape(-1)
+    exw = jnp.zeros((b * 16384, 3), jnp.int32)
+    exw = exw.at[tgt].set(ev.reshape(-1, 3), mode="drop",
+                          unique_indices=True)
+    n_exw = jnp.sum(esc.astype(jnp.int32), axis=1)
+
+    # res4: per row, the 24000-mark columns (j+1 each, last +128), or a
+    # single 128 for rows without any
+    m24 = is24.reshape(b, 128, 128)
+    jr = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    last = m24 & ~(jax.lax.cummax(
+        jnp.where(m24, jr, -1)[..., ::-1], axis=2)[..., ::-1] > jr)
+    val = (jr + 1) + jnp.where(last, 128, 0)
+    any24 = jnp.any(m24, axis=2)
+    # emission grid (B, 128, 129): per-j marks then the placeholder
+    grid_m = jnp.concatenate([m24, (~any24)[..., None]], axis=2)
+    grid_v = jnp.concatenate(
+        [val, jnp.full(any24.shape + (1,), 128, jnp.int32)], axis=2)
+    res4, n_res4 = _compact(grid_m.reshape(b, -1),
+                            grid_v.reshape(b, -1), jnp.int32(0),
+                            128 * 129)
+    out = I.at[:, :128, :128].set(0)
+    return (out.astype(jnp.int16), tree1, ch_res,
+            exw.reshape(b, 16384, 3), n_exw, res4, n_res4)
