@@ -1987,3 +1987,93 @@ def ll2_code_y_device(plane, gt_low3: bool):
     out = I.at[:, :128, :128].set(0)
     return (out.astype(jnp.int16), tree1, ch_res,
             exw.reshape(b, 16384, 3), n_exw, res4, n_res4)
+
+
+# ---------------------------------------------------------------------------
+# E11 tail: paired-code promotion to sentinels 10100-12900
+# (models/encoder._pair_promotion, encoder/nhw_encoder.c:970-1074).
+#
+# Dead-branch analysis (the elif chains consume matched-outer-failed-
+# inner cases): v==7 is consumed by 4<v<8 and v==-7/-6 by -8<v<-4, so
+# the 10204/10300 promotions and the lower half's a-N/a+D vertical
+# cases NEVER fire — the live branches are the 12700/12900 triples and
+# the v==+-8 rewrites.  That leaves only the within-row left chain
+# (value-mediated: every write lands a sentinel that fails all later
+# range tests), resolved as a Jacobi fixpoint on the decision plane;
+# both blocks are row-independent.
+
+
+def _pp_decide(vl, v, vr, band: bool):
+    """Decision codes: 0 none, 1=12700 triple, 2=12900 triple,
+    6=own 10, 7=own -9, 8=9/9 pair (band), 9=-9/-9 pair (band)."""
+    outer1 = (v > 4) & (v < 8)
+    inner1 = (vl > 3) & (vl <= 7) & (vr > 3) & (vr <= 7)
+    outer2 = (v > -8) & (v < -4)
+    inner2 = (vl > -8) & (vl <= -4) & (vr > -8) & (vr <= -4)
+    c6a = ((vl & 65534) == 6) | ((vr & 65534) == 6)
+    c7a = (((-vl) & 65534) == 6) | (((-vr) & 65534) == 6)
+    if band:
+        d8 = jnp.where(c6a, 6, jnp.where(vr == 8, 8, 0))
+        d9 = jnp.where(c7a, 7, jnp.where(vr == -8, 9, 0))
+    else:
+        d8 = jnp.where(c6a, 6, 0)
+        d9 = jnp.where(c7a, 7, 0)
+    return jnp.where(outer1, jnp.where(inner1, 1, 0),
+                     jnp.where(outer2, jnp.where(inner2, 2, 0),
+                               jnp.where(v == 8, d8,
+                                         jnp.where(v == -8, d9, 0))))
+
+
+def _pp_vvisit(I, dec_left):
+    """Own value at visit time: the left neighbour's a+1 write."""
+    return jnp.where((dec_left == 1) | (dec_left == 2), 10100,
+                     jnp.where(dec_left == 8, 9,
+                               jnp.where(dec_left == 9, -9, I)))
+
+
+def _pp_own(vvis, dec):
+    """Value after the visit's own write."""
+    return jnp.where(dec == 1, 12700,
+                     jnp.where(dec == 2, 12900,
+                               jnp.where(dec == 6, 10,
+                                         jnp.where((dec == 7) | (dec == 9),
+                                                   -9,
+                                                   jnp.where(dec == 8, 9,
+                                                             vvis)))))
+
+
+def _pp_block(I, reg, band: bool):
+    vr = _flat_shift_l(I)                    # right reads: row input
+
+    def step(dec):
+        dl = _flat_shift_r(dec)
+        vvis = _pp_vvisit(I, dl)
+        dll = _flat_shift_r(dl)
+        vl = _pp_own(_pp_vvisit(_flat_shift_r(I), dll), dl)
+        return jnp.where(reg, _pp_decide(vl, vvis, vr, band), 0)
+
+    def body(state):
+        dec, _ = state
+        d2 = step(dec)
+        return d2, jnp.any(d2 != dec)
+
+    d0 = step(jnp.zeros_like(I))
+    dec, _ = jax.lax.while_loop(lambda s: s[1], body,
+                                (d0, jnp.bool_(True)))
+    out = _pp_own(_pp_vvisit(I, _flat_shift_r(dec)), dec)
+    # the a-1 10100 writes from cases 1/2 (arrive after the visit)
+    from_right = _flat_shift_l(dec)
+    return jnp.where((from_right == 1) | (from_right == 2), 10100, out)
+
+
+@jax.jit
+def pair_promotion_device(plane):
+    """_pair_promotion on (B,512,512) int16 planes, bit-exact."""
+    I0 = jnp.asarray(plane).astype(jnp.int32)
+    col = _col_iota()
+    row = _row_iota()
+    reg1 = (row >= 1) & (row < 255) & (col >= 257) & (col < 511)
+    I1 = _pp_block(I0, reg1, True)
+    reg2 = (row >= 257) & (row < 511) & (col >= 1) & (col < 255)
+    I2 = _pp_block(I1, reg2, False)
+    return I2.astype(jnp.int16)
