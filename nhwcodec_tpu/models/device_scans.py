@@ -1140,6 +1140,7 @@ def _compact(mask, vals, fill, size):
     """Rank-compact vals[mask] into a (B, size) buffer (row-major
     order preserved); returns (buf, counts)."""
     b, n = mask.shape
+    vals = jnp.broadcast_to(vals, mask.shape)
     rank = jnp.cumsum(mask.astype(jnp.int32), axis=1) - mask
     rowO = (jnp.arange(b, dtype=jnp.int32) * size)[:, None]
     seq = jnp.arange(b * n, dtype=jnp.int32).reshape(b, n)

@@ -118,7 +118,8 @@ def encode_batch_device(images: np.ndarray, quality: int = 20,
                         workers: int | None = None,
                         chunk: int | None = None,
                         trace_dir: str | None = None,
-                        device_pack: bool = True
+                        device_pack: bool = True,
+                        scans_on_device: bool = False
                         ) -> tuple[list[bytes | None], BatchMetrics]:
     """Encode a (B, 512, 512, 3) uint8 batch with device transforms.
 
@@ -127,6 +128,12 @@ def encode_batch_device(images: np.ndarray, quality: int = 20,
     ``chunk``: images per device launch (default: B/workers capped 16);
     ``device_pack``: run each chunk's Huffman bit packing as one device
     prefix-sum program (default on);
+    ``scans_on_device``: the round-5 full-device configuration — every
+    post-transform raster scan (E11/E12/E14-E17) runs as batched
+    device programs (models.device_encode_scans), symmetric to
+    decode's ``entropy_on_device``; host keeps the E4 pre-filter, the
+    E10 greedy passes and the tokenizer.  Byte-identical either way;
+    requires LOW4 < quality <= HIGH1;
     ``trace_dir``: capture a ``jax.profiler`` trace of the whole batch
     into this directory (view with TensorBoard/Perfetto — the device
     stages appear under their ``nhw.*`` named scopes).
@@ -136,7 +143,17 @@ def encode_batch_device(images: np.ndarray, quality: int = 20,
     if trace_dir is not None:
         with jax.profiler.trace(trace_dir):
             return encode_batch_device(images, quality, workers, chunk,
-                                       device_pack=device_pack)
+                                       device_pack=device_pack,
+                                       scans_on_device=scans_on_device)
+
+    if scans_on_device:
+        from nhwcodec_tpu.models import device_encode_scans as des
+
+        t0 = time.perf_counter()
+        streams = des.encode_batch_scans_device(images, quality)
+        return streams, BatchMetrics(
+            images=len(images), wall_s=time.perf_counter() - t0,
+            megapixels=len(images) * 512 * 512 / 1e6)
 
     jax.devices()  # initialize the backend on the main thread: plugin
     # discovery (the axon tunnel) is not thread-safe on first touch
