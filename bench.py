@@ -430,6 +430,122 @@ def _reference_numbers(imgs: np.ndarray) -> dict:
     return out
 
 
+def _scans_share_and_pack(imgs: np.ndarray) -> dict:
+    """VERDICT r4 item 4a/4b rows: the host's per-image cost with the
+    transforms precomputed (the measured ceiling of the co-located
+    'front on chip' claim — E4 + the raster scans + the tokenizer, 4
+    threads, C scans release the GIL), and host-pack vs device-pack
+    times on identical streams."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from nhwcodec_tpu.models import encoder as enc
+    from nhwcodec_tpu.ops import analysis, colorspace, entropy_enc
+    from nhwcodec_tpu.ops import prefilter, requant
+
+    q = 20
+    states = []
+    for im in imgs:
+        y, u, v = colorspace.downsample_yuv420(im, q)
+        y_orig = y
+        y1 = prefilter.pre_process_y(y, q)
+        jpeg = y1.astype(np.int16).copy()
+        process = np.zeros((512, 512), np.int16)
+        snap = analysis.wavelet_analysis(jpeg, process, 512, 0, 0,
+                                         snapshot=False)
+        res256 = jpeg[:256, :256].copy()
+        analysis.wavelet_analysis(jpeg, process, 256, 1, 0)
+        requant.mark_res256(process, res256)
+        requant.offset_y_recons256(jpeg, process, q, 8, part=1)
+        analysis.wavelet_synthesis(jpeg, process, 256, 0)
+        requant.unmark_res256(process, res256)
+        requant.requant_scan_ladder(jpeg, process, res256)
+        analysis.wavelet_analysis(jpeg, process, 256, 1, 0)
+        pre_y = (jpeg, process, res256, None)
+
+        def uv_pre(plane):
+            j2 = plane.astype(np.int16).copy()
+            p2 = np.zeros((256, 256), np.int16)
+            analysis.wavelet_analysis(j2, p2, 256, 0, 0)
+            r2 = j2[:128, :128].copy()
+            analysis.wavelet_analysis(j2, p2, 128, 1, 0)
+            return (j2, p2, r2)
+
+        states.append((y1, y_orig, u, v, pre_y, uv_pre(u), uv_pre(v)))
+
+    def one(st):
+        y1, y_orig, u, v, pre_y, pre_u, pre_v = st
+        # E4 on a fresh buffer (the identity caches must miss)
+        prefilter.pre_process_y(np.array(y_orig), q)
+        py = tuple(np.array(a) if a is not None else None for a in pre_y)
+        pu = tuple(np.array(a) for a in pre_u)
+        pv = tuple(np.array(a) for a in pre_v)
+        return enc.encode_from_planes(
+            np.array(y1), u, v, q, y_original=y_orig, pre_y=py,
+            pre_u=pu, pre_v=pv, requant_done=True, defer_pack=True)
+
+    n = len(states)
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(one, states))  # warm
+        ts = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            deferred = list(ex.map(one, states))
+            ts.append(time.perf_counter() - t0)
+    out = {"host_scans_share_mp_s_4w":
+           round(n * 0.262144 / _median(ts), 2)}
+
+    # host pack vs device pack on identical real streams (item 4b):
+    # rebuild one real im_nhw, then time the host packer minus its
+    # tokenizer share vs the batched device prefix-sum pack
+    st = states[1]  # texture image: the densest token stream
+    y1, y_orig, u, v, pre_y, pre_u, pre_v = st
+    im_nhw, sec = enc.encode_y(
+        np.array(y1), q, 8, y_original=y_orig,
+        pre=tuple(np.array(a) if a is not None else None
+                  for a in pre_y), requant_done=True)
+    uf = np.ascontiguousarray(u, np.uint8).reshape(-1)
+    oob_u = int(np.uint16(int(uf[32768])
+                          | (int(uf[32769]) << 8)).view(np.int16))
+    tail = np.array(
+        [np.uint16(int(uf[32768 + 2 * i])
+                   | (int(uf[32769 + 2 * i]) << 8)).view(np.int16)
+         for i in range(4)], np.int16)
+    pu2, _, _ = enc.encode_uv(u, q, 0, 8, oob0=oob_u, oob_tail=tail,
+                              pre=tuple(np.array(a) for a in pre_u))
+    from nhwcodec_tpu.ops import quantize
+    quantize.serpentine_uv(im_nhw, pu2, 0)
+    pv2, _, _ = enc.encode_uv(v, q, 1, 8, oob0=oob_u, oob_tail=tail,
+                              pre=tuple(np.array(a) for a in pre_v))
+    quantize.serpentine_uv(im_nhw, pv2, 1)
+
+    def med(fn, reps=5):
+        fn()
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return _median(ts)
+
+    # three comparable components: the all-host C packer path, the
+    # host tokenizer alone (shared by both paths), and the batched
+    # device pack amortized over 32 streams — the device path per image
+    # is tokenize + pack_b32 (the 'device >= host at batch >= 32' claim
+    # is host_pack_path vs tokenize + device_pack_only)
+    t_full = med(lambda: entropy_enc.wavlts2packet(
+        im_nhw, sec["nhw_select1"], sec["nhw_select2"],
+        device_pack=False))
+    t_tok = med(lambda: entropy_enc.wavlts2packet_tokenize(im_nhw))
+    tps = [entropy_enc.wavlts2packet_tokenize(im_nhw) for _ in range(32)]
+    t_dev = med(lambda: entropy_enc.pack_tokenized_batch(
+        [entropy_enc.wavlts2packet_tokenize(im_nhw)] + tps[1:]), reps=3)
+    out["host_pack_path_ms_img"] = round(t_full * 1000, 2)
+    out["tokenize_ms_img"] = round(t_tok * 1000, 2)
+    out["device_pack_only_b32_ms_img"] = round(
+        (t_dev - t_tok) / 32 * 1000, 3)
+    return out
+
+
 def _host_numbers(device_ok: bool = True) -> dict:
     from nhwcodec_tpu.parallel import api, device_pipeline
     from nhwcodec_tpu.utils import fixtures
@@ -472,6 +588,18 @@ def _host_numbers(device_ok: bool = True) -> dict:
     good = [s for s in streams if s is not None]
     mdec, _ = median_of(lambda: api.decode_batch(good), n=5)
     out["full_decode_mp_s"] = round(mdec, 3)
+
+    with _pin_one_core():
+        m1d, _ = median_of(
+            lambda: api.decode_batch(good[:8], workers=0), n=4)
+        out["single_core_decode_mp_s"] = round(m1d, 3)
+
+    # the pool gap (VERDICT r4 item 4d): measured pool throughput vs
+    # cores x single-core
+    out["pool_efficiency"] = round(
+        menc / (ncore * out["single_core_encode_mp_s"]), 3)
+
+    out.update(_scans_share_and_pack(imgs[:8]))
 
     # device-wired full codec (byte-identical output, transform on chip;
     # tunnel-bound in this sandbox — see PERFORMANCE.md)
