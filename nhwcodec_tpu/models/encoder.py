@@ -250,6 +250,9 @@ def encode_y(yplane: np.ndarray, quality: int, ratio: int = 8,
 
     if q > T.HIGH1 and wfo is not None:
         residue.adjust_first_order(res256, wfo)
+        if _CAPTURE_WFO:
+            global _LAST_WFO
+            _LAST_WFO = wfo.copy()
 
     if q > T.LOW8:
         pos, words = residue.build_positional_stream(
@@ -865,6 +868,12 @@ def _pair_promotion(pf: np.ndarray, q: int) -> None:
 
 _V_OFF_OVERRIDE: int | None = None  # diagnostics: res256 slack reseat
 _U_OFF_OVERRIDE: int | None = None
+# diagnostics: capture the q>HIGH1 first-order plane (the third slack
+# placement's V-chunk one-past reads alias its interior at a layout-
+# fixed offset — wave 55's combo traced to wfo[32160]); the fuzz
+# classifier flips this on to derive placement-probe tails
+_CAPTURE_WFO: bool = False
+_LAST_WFO: np.ndarray | None = None
 # diagnostics: explicit V-chunk slack shorts (the third observed
 # placement — the chunk lands so its one-past read hits first-order-
 # plane content, small positive values; see VALIDATION.md)

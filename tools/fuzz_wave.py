@@ -124,6 +124,27 @@ def run_wave(seed: int, n_images: int, out_dir: pathlib.Path,
                             [129, 0, 0, 0], np.int16)
                         alt = equal_modulo_dead_bits(
                             encoder.encode(img, q), ref)
+                    if not alt and q > 21:
+                        # third placement, derived tail: the V-chunk
+                        # one-past reads alias the live q>HIGH1
+                        # first-order plane at a layout-fixed interior
+                        # offset (wave 55 traced wfo[32160] via the
+                        # dHQ_wfo dump); probe our own wfo there
+                        encoder._V_OFF_OVERRIDE = None
+                        encoder._CAPTURE_WFO = True
+                        try:
+                            encoder.encode(img, q)
+                            wfo = encoder._LAST_WFO
+                        finally:
+                            encoder._CAPTURE_WFO = False
+                        if wfo is not None:
+                            for off in (32160, 32152, 32168):
+                                encoder._V_TAIL_OVERRIDE = np.asarray(
+                                    wfo, np.int16)[off: off + 4]
+                                if equal_modulo_dead_bits(
+                                        encoder.encode(img, q), ref):
+                                    alt = True
+                                    break
                     if not alt:
                         # windowed placement probe: the slack aliases
                         # the freed U byte plane at a 16-aligned offset

@@ -76,6 +76,24 @@ def main() -> int:
             if not np.array_equal(want_px[i], got_px[i]):
                 bad.append(("decode", q, i))
 
+        # the round-5 configurations: full-device encode scans and
+        # on-chip entropy decode
+        from nhwcodec_tpu.models import device_decode as dd
+        from nhwcodec_tpu.models import device_encode_scans as des
+
+        if des.supported(q):
+            got3, _ = device_pipeline.encode_batch_device(
+                imgs, q, scans_on_device=True)
+            for i in range(n):
+                tested += 1
+                if got3[i] != want[i]:
+                    bad.append(("scans_on_device", q, i))
+        got_px2 = dd.decode_batch_device(want, entropy_on_device=True)
+        for i in range(n):
+            tested += 1
+            if not np.array_equal(want_px[i], got_px2[i]):
+                bad.append(("entropy_on_device", q, i))
+
     print(f"device wave {seed}: {tested} checks on "
           f"{jax.default_backend()} backend, {len(bad)} mismatches")
     if bad:
