@@ -139,6 +139,9 @@ void nhw_pair_promotion(int16_t *pf);
 long nhw_dering_mark(int16_t *proc, int32_t *marks_out);
 void nhw_isolated_smooth(int16_t *flat, int diag_thr);
 void nhw_uv_sharpen(int16_t *proc, int thr);
+void nhw_map_tokens(const int32_t *tokens, long n,
+                    const int32_t *sym_pos, const int32_t *run_pos,
+                    int32_t *out);
 void nhw_stream_positions(const uint8_t *res_in, long n, int64_t *pos,
                           long n_entries, int row_step, int first_count,
                           int pack_shift);

@@ -109,14 +109,13 @@ def _build_codebook(rle_buf: np.ndarray, rle_128: np.ndarray, select: int):
     return entries, weights, select
 
 
-def _pack_select_bits(bits: list[int]) -> tuple[np.ndarray, int]:
+def _pack_select_bits(bits) -> tuple[np.ndarray, int]:
+    bits = np.asarray(bits, np.uint8)
     c = len(bits)
     b = (c >> 3) + 1
-    padded = bits + [0] * ((b << 3) - c)
     out = np.zeros(b << 3, np.uint8)
-    for k, v in enumerate(padded):
-        out[k] = v & 1
-    packed = np.packbits(out[: b << 3])
+    out[:c] = bits & 1
+    packed = np.packbits(out)
     return packed, b
 
 
@@ -309,21 +308,20 @@ def wavlts2packet_tokenize(im_nhw: np.ndarray) -> TokenizedPacket:
             ffi.cast("int32_t *", tokens.ctypes.data), tokens.size)
         if n_tok < 0:
             raise OverflowError("token stream exceeds buffer")
-        t = tokens[:n_tok]
         pos = np.empty(n_tok, np.int32)
-        mneg = t < 0
-        pos[mneg] = sym_pos[-t[mneg] - 1]
-        pos[~mneg] = run_pos[t[~mneg] - 65536]
+        lib.nhw_map_tokens(
+            ffi.cast("const int32_t *", tokens.ctypes.data), n_tok,
+            ffi.cast("const int32_t *", sym_pos.ctypes.data),
+            ffi.cast("const int32_t *", run_pos.ctypes.data),
+            ffi.cast("int32_t *", pos.ctypes.data))
         tp.pos.append(pos)
         tp.zone.append(bool(zone))
 
         if part == 0:
             res.wavelet_type = 4 if (select > 4 or b_top == 0) else 0
-            res.select_word1, _ = _pack_select_bits(
-                sel1[: n_sel1[0]].tolist())
+            res.select_word1, _ = _pack_select_bits(sel1[: n_sel1[0]])
             res.nhw_select1 = len(res.select_word1)
-            res.select_word2, _ = _pack_select_bits(
-                sel2[: n_sel2[0]].tolist())
+            res.select_word2, _ = _pack_select_bits(sel2[: n_sel2[0]])
             res.nhw_select2 = len(res.select_word2)
             res.tree1, y_cb = _serialize_tree1(entries)
         else:
@@ -579,11 +577,9 @@ def _wavlts2packet_native(im_nhw: np.ndarray, native) -> PacketResult:
         if part == 0:
             res.size_data1 = a + 1
             res.wavelet_type = 4 if (select > 4 or b_top == 0) else 0
-            res.select_word1, _ = _pack_select_bits(
-                sel1[: n_sel1[0]].tolist())
+            res.select_word1, _ = _pack_select_bits(sel1[: n_sel1[0]])
             res.nhw_select1 = len(res.select_word1)
-            res.select_word2, _ = _pack_select_bits(
-                sel2[: n_sel2[0]].tolist())
+            res.select_word2, _ = _pack_select_bits(sel2[: n_sel2[0]])
             res.nhw_select2 = len(res.select_word2)
             res.tree1, y_cb = _serialize_tree1(entries)
         else:
