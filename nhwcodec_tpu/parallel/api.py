@@ -62,11 +62,50 @@ def _pool_map(workers: int | None, fn, jobs) -> list:
         return list(_pool(workers).map(fn, jobs))
 
 
+# persistent SharedMemory arena (round 5, VERDICT r4 item 4d): creating
+# + page-faulting + unlinking a fresh 37MB segment per batch cost
+# ~15-25 ms/call; the arena is grow-only and its stable name lets the
+# workers cache their attachment
+_SHM_ARENAS: dict = {}       # keyed by purpose: enc inputs / dec outputs
+
+
+def _arena(kind: str, nbytes: int):
+    from multiprocessing import shared_memory
+
+    shm = _SHM_ARENAS.get(kind)
+    if shm is None or shm.size < nbytes:
+        if shm is not None:
+            shm.close()
+            shm.unlink()
+        shm = _SHM_ARENAS[kind] = shared_memory.SharedMemory(
+            create=True, size=max(nbytes, 64 * 786432))
+    return shm
+
+
+_WORKER_SHM: dict = {}
+
+
+def _attach(name: str):
+    from multiprocessing import shared_memory
+
+    shm = _WORKER_SHM.get(name)
+    if shm is None:
+        shm = _WORKER_SHM[name] = shared_memory.SharedMemory(name=name)
+    return shm
+
+
 @atexit.register
 def _shutdown_pools() -> None:
     for p in _POOLS.values():
         p.shutdown(wait=False, cancel_futures=True)
     _POOLS.clear()
+    for shm in _SHM_ARENAS.values():
+        try:
+            shm.close()
+            shm.unlink()
+        except Exception:  # noqa: BLE001 — best-effort cleanup
+            pass
+    _SHM_ARENAS.clear()
 
 
 @dataclasses.dataclass
@@ -104,17 +143,12 @@ def _encode_one_shm(args):
     through shared pages instead of a 786KB pickle per image."""
     idx, shm_name, quality = args
     try:
-        from multiprocessing import shared_memory
-
         import nhwcodec_tpu
 
-        shm = shared_memory.SharedMemory(name=shm_name)
-        try:
-            rgb = np.ndarray(
-                (512, 512, 3), np.uint8,
-                buffer=shm.buf[idx * 786432:(idx + 1) * 786432]).copy()
-        finally:
-            shm.close()
+        shm = _attach(shm_name)
+        rgb = np.ndarray(
+            (512, 512, 3), np.uint8,
+            buffer=shm.buf[idx * 786432:(idx + 1) * 786432]).copy()
         return idx, nhwcodec_tpu.encode(rgb, quality), None
     except Exception as e:  # noqa: BLE001
         return idx, None, f"{type(e).__name__}: {e}"
@@ -135,18 +169,13 @@ def _decode_one_shm(args):
     through shared pages instead of a 786KB pickle per image."""
     idx, data, shm_name = args
     try:
-        from multiprocessing import shared_memory
-
         import nhwcodec_tpu
 
         rgb = nhwcodec_tpu.decode(data)
-        shm = shared_memory.SharedMemory(name=shm_name)
-        try:
-            out = np.ndarray((512, 512, 3), np.uint8,
-                             buffer=shm.buf[idx * 786432:(idx + 1) * 786432])
-            out[:] = rgb
-        finally:
-            shm.close()
+        shm = _attach(shm_name)
+        out = np.ndarray((512, 512, 3), np.uint8,
+                         buffer=shm.buf[idx * 786432:(idx + 1) * 786432])
+        out[:] = rgb
         return idx, True, None
     except Exception as e:  # noqa: BLE001
         return idx, False, f"{type(e).__name__}: {e}"
@@ -172,24 +201,17 @@ def encode_batch(images: np.ndarray, quality: int = 20,
         m.wall_s = time.perf_counter() - t0
         return out, m
 
-    from multiprocessing import shared_memory
-
-    shm = shared_memory.SharedMemory(create=True,
-                                     size=len(images) * 786432)
-    try:
-        view = np.ndarray((len(images), 512, 512, 3), np.uint8,
-                          buffer=shm.buf)
-        view[:] = images
-        jobs = [(i, shm.name, quality) for i in range(len(images))]
-        for idx, data, err in _pool_map(workers, _encode_one_shm, jobs):
-            if err is None:
-                out[idx] = data
-            else:
-                m.failures += 1
-        del view
-    finally:
-        shm.close()
-        shm.unlink()
+    shm = _arena("enc", len(images) * 786432)
+    view = np.ndarray((len(images), 512, 512, 3), np.uint8,
+                      buffer=shm.buf)
+    view[:] = images
+    jobs = [(i, shm.name, quality) for i in range(len(images))]
+    for idx, data, err in _pool_map(workers, _encode_one_shm, jobs):
+        if err is None:
+            out[idx] = data
+        else:
+            m.failures += 1
+    del view
     m.wall_s = time.perf_counter() - t0
     return out, m
 
@@ -210,22 +232,15 @@ def decode_batch(bitstreams: list[bytes], workers: int | None = None
         m.wall_s = time.perf_counter() - t0
         return out, m
 
-    from multiprocessing import shared_memory
-
-    shm = shared_memory.SharedMemory(create=True,
-                                     size=len(bitstreams) * 786432)
-    try:
-        jobs = [(i, s, shm.name) for i, s in enumerate(bitstreams)]
-        for idx, ok, err in _pool_map(workers, _decode_one_shm, jobs):
-            if err is None and ok:
-                out[idx] = np.ndarray(
-                    (512, 512, 3), np.uint8,
-                    buffer=shm.buf[idx * 786432:(idx + 1) * 786432]).copy()
-            else:
-                m.failures += 1
-    finally:
-        shm.close()
-        shm.unlink()
+    shm = _arena("dec", len(bitstreams) * 786432)
+    jobs = [(i, s, shm.name) for i, s in enumerate(bitstreams)]
+    for idx, ok, err in _pool_map(workers, _decode_one_shm, jobs):
+        if err is None and ok:
+            out[idx] = np.ndarray(
+                (512, 512, 3), np.uint8,
+                buffer=shm.buf[idx * 786432:(idx + 1) * 786432]).copy()
+        else:
+            m.failures += 1
     m.wall_s = time.perf_counter() - t0
     return out, m
 
