@@ -25,7 +25,7 @@ import numpy as np
 from nhwcodec_tpu import tables as T
 from nhwcodec_tpu.models import device_scans as ds
 from nhwcodec_tpu.models import encoder as enc
-from nhwcodec_tpu.ops import analysis, colorspace, ll2, quantize, requant
+from nhwcodec_tpu.ops import analysis, colorspace, requant
 
 D = 256
 N = 512
@@ -45,7 +45,6 @@ def encode_batch_scans_device(images: np.ndarray, quality: int = 20
     """(B,512,512,3) uint8 -> list of .nhw byte strings, byte-identical
     to the host encoder, with every raster scan on the device."""
     from nhwcodec_tpu.ops import entropy_enc, prefilter
-    from nhwcodec_tpu.utils import container
 
     q = quality
     if not supported(q):
@@ -126,7 +125,6 @@ def encode_batch_scans_device(images: np.ndarray, quality: int = 20
 
     # ---- host: E10 part-0 offset + synthesis (greedy raster) ----
     P = np.asarray(Pd)
-    wfos = [None] * b
     for k in range(b):
         procs[k][:] = P[k]
         procs[k][:D, :D] = resIII[k]

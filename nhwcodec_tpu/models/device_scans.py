@@ -123,7 +123,6 @@ def snap_pass_device(plane, r0: int, r1: int, col0: int, col1: int,
         + tr_initial(_shift_up(I)).astype(jnp.int32))
 
     IL = _shift_left(I)          # I[a+1]
-    IL2 = _shift_left(IL)        # I[a+2]
     colm1 = col - 1              # column of the left neighbour
 
     def delta_in(e_left):
@@ -1018,7 +1017,7 @@ def _classify_step(flags):
 
         v = i_bnd
         bp = bnd_prev
-        case_nop = v
+        case_nop = v             # untouched-band default
 
         # band helpers
         dec16 = (v > 15) & ((v & 7) == 0)
