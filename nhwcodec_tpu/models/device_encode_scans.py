@@ -86,9 +86,9 @@ def encode_batch_scans_device(images: np.ndarray, quality: int = 20
     # ---- device: mid-q band cleanup (pure vector; q17..q19) ----
     P = _stack(procs)
     if T.LOW5 < q < T.NORM:
+        P = np.asarray(ds.mid_q_band_cleanup_device(P))
         for k in range(b):
-            enc._mid_q_band_cleanup(procs[k].reshape(-1), ratio)
-        P = _stack(procs)
+            procs[k][:] = P[k]
 
     resIII = P[:, :D, :D].copy()
 

@@ -2077,3 +2077,21 @@ def pair_promotion_device(plane):
     reg2 = (row >= 257) & (row < 511) & (col >= 1) & (col < 255)
     I2 = _pp_block(I1, reg2, False)
     return I2.astype(jnp.int16)
+
+
+@jax.jit
+def mid_q_band_cleanup_device(plane):
+    """models/encoder._mid_q_band_cleanup (LOW5<q<NORM): snap small
+    lower-half coefficients to +-7 — pure elementwise."""
+    I = jnp.asarray(plane).astype(jnp.int32)
+    lower = I[:, 256:, :]
+    left = lower[:, :, :256]
+    av = jnp.abs(left)
+    m = (av >= 8) & (av < 9)
+    left2 = jnp.where(m, jnp.where(left > 0, 7, -7), left)
+    right = lower[:, :, 256:]
+    av = jnp.abs(right)
+    m = (av >= 8) & (av <= 14)
+    right2 = jnp.where(m, jnp.where(right > 0, 7, -7), right)
+    out = I.at[:, 256:, :256].set(left2).at[:, 256:, 256:].set(right2)
+    return out.astype(jnp.int16)
