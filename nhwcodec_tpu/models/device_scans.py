@@ -2095,3 +2095,273 @@ def mid_q_band_cleanup_device(plane):
     right2 = jnp.where(m, jnp.where(right > 0, 7, -7), right)
     out = I.at[:, 256:, :256].set(left2).at[:, 256:, 256:].set(right2)
     return out.astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("x1",))
+def low_q_ll1_cleanup_device(plane, x1: int):
+    """models/encoder._low_q_ll1_cleanup (q<=LOW9): isolated-coefficient
+    zeroing in rows 128..255 cols 0..255.  Left reads are post-write,
+    right reads initial — a per-row Jacobi (zeroing the left neighbour
+    widens the isolation test rightward)."""
+    I = jnp.asarray(plane).astype(jnp.int32)
+    ratio = 8
+    reg = I[:, 128:256, :]          # full 512 cols for the flat shifts
+    Ireg = reg
+    IL = _flat_shift_l(Ireg)        # right neighbour, initial
+    col = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
+    inreg = col < 256
+
+    def decide(left_cur, v):
+        av = jnp.abs(v)
+        cand = inreg & (av >= ratio) & (av < x1)
+        lsm = jnp.abs(left_cur) < ratio
+        rsm = jnp.abs(IL) < ratio
+        z = cand & ((lsm & rsm) | ((av == ratio) & (lsm | rsm)))
+        return jnp.where(z, 0, v)
+
+    def body(state):
+        F, _ = state
+        # left neighbour: flat previous element; col 0 reads the
+        # previous row's col 511 (outside the region -> initial)
+        left = _flat_shift_r(F)
+        left = left.at[:, :, 0].set(
+            jnp.concatenate([I[:, 127:128, 511],
+                             F[:, :-1, 511]], axis=1))
+        F2 = decide(left, Ireg)
+        return F2, jnp.any(F2 != F)
+
+    F0, _ = body((Ireg, True))
+    F, _ = jax.lax.while_loop(lambda s: s[1], body, (F0, jnp.bool_(True)))
+    return plane.astype(jnp.int32).at[:, 128:256, :].set(
+        F).astype(jnp.int16)
+
+
+def _lolo_phase(vin, left, right_i, r3ok, ratio, tlo, thi, x5,
+                snap16, xlo2):
+    """One visit of the q<LOW6 dead-zoning: phase-1 (r3 guard or pair
+    zeroing) then the phase-2 re-read."""
+    av = jnp.abs(vin)
+    cand1 = (av >= ratio) & (av < thi)
+    z_r3 = cand1 & r3ok
+    pairL = cand1 & ~z_r3 & (jnp.abs(vin + left) < x5) \
+        & (jnp.abs(right_i) < x5)
+    pairR = cand1 & ~z_r3 & ~pairL & (jnp.abs(vin + right_i) < x5) \
+        & (jnp.abs(left) < x5)
+    v1 = jnp.where(z_r3 | pairL | pairR, 0, vin)
+    av2 = jnp.abs(v1)
+    cand2 = (av2 >= ratio) & (av2 < tlo)
+    iso = cand2 & (jnp.abs(left) < ratio) & (jnp.abs(right_i) < ratio)
+    lo2 = cand2 & ~iso & (av2 < tlo - xlo2) if xlo2 is not None \
+        else jnp.zeros_like(iso)
+    hit = iso | lo2
+    v2 = jnp.where(hit,
+                   jnp.where(snap16,
+                             jnp.where(v1 >= 16, 7,
+                                       jnp.where(v1 <= -16, -7, 0)),
+                             0), v1)
+    return v2, pairL, pairR
+
+
+def lowest_q_band_cleanup_device(plane, r3_ext, quality: int,
+                                 xs: tuple):
+    """models/encoder._lowest_q_band_cleanup (q<LOW6).  Loop A (rows
+    0..255 cols 256..511) is a row-local Jacobi with static boundary
+    reads; loops B+C are ONE left-to-right row walk over cols 0..510
+    of rows 256..511 (parameter switch at col 256) whose col-0 left
+    read chains flat into the previous row's col 511 — a single Jacobi
+    over the half-plane.  r3_ext: (B, 65536+256) int16."""
+    from nhwcodec_tpu import tables as T
+
+    x1, x2, x3, x4, x5 = xs
+    gt10 = quality > T.LOW10
+    I0 = jnp.asarray(plane).astype(jnp.int32)
+    r3 = jnp.asarray(r3_ext).astype(jnp.int32)
+    b = I0.shape[0]
+
+    def gather_r3(idx, thr):
+        return jnp.abs(jnp.take_along_axis(
+            r3, jnp.broadcast_to(idx.reshape(-1), (b, idx.size)),
+            axis=1).reshape((b,) + idx.shape)) < thr
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (256, 256), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (256, 256), 1)
+
+    # ---- loop A: rows 0..255, cols 256..511 (col 511 visited) ----
+    IA = I0[:, :256, 256:]
+    r3A = gather_r3(((row * 256 + col) >> 1) + 128, x4)
+    leftB = I0[:, :256, 255]                     # static left boundary
+    # right of col 511 = flat next-row col 0 (LL region, static)
+    rightB = jnp.concatenate([I0[:, 1:256, 0], I0[:, 256:257, 0]],
+                             axis=1)
+    IR_A = _flat_shift_l(IA).at[:, :, 255].set(rightB)
+
+    def bodyA(state):
+        F, wr, _ = state
+        vin = jnp.where(_flat_shift_r(wr, 1, False), 0, IA)
+        left = _flat_shift_r(F).at[:, :, 0].set(leftB)
+        v2, pl, pr = _lolo_phase(vin, left, IR_A, r3A, 8, x3, x3 + 2,
+                                 x5, False, None)
+        return v2, pr, jnp.any((v2 != F) | (pr != wr))
+
+    zA = jnp.zeros(IA.shape, bool)
+    FA, wrA, _ = bodyA((IA, zA, True))
+    FA, wrA, _ = jax.lax.while_loop(lambda st: st[2], bodyA,
+                                    (FA, wrA, jnp.bool_(True)))
+    # re-derive the left/right write masks against the fixpoint
+    vinA = jnp.where(_flat_shift_r(wrA, 1, False), 0, IA)
+    _, plA, prA = _lolo_phase(vinA,
+                              _flat_shift_r(FA).at[:, :, 0].set(leftB),
+                              IR_A, r3A, 8, x3, x3 + 2, x5, False, None)
+    FA = jnp.where(_flat_shift_l(plA, 1, False), 0, FA)
+    FA = jnp.where(_flat_shift_r(prA, 1, False), 0, FA)
+    out = I0.at[:, :256, 256:].set(FA)
+    # boundary writes that leave the region: pairL at abs col 256
+    # zeroes col 255, and pairR at abs col 511 zeroes the flat next
+    # row's col 0 (rows 1..256 — row 256 feeds the B+C input)
+    out = out.at[:, :256, 255].set(
+        jnp.where(plA[:, :, 0], 0, out[:, :256, 255]))
+    out = out.at[:, 1:257, 0].set(
+        jnp.where(prA[:, :, 255], 0, out[:, 1:257, 0]))
+
+    # ---- loops B+C combined: rows 256..511, cols 0..511 ----
+    IH = out[:, 256:, :]                          # (B,256,512)
+    colH = jax.lax.broadcasted_iota(jnp.int32, (512,), 0)
+    isB = colH < 256
+    isC = (colH >= 256) & (colH < 511)
+    live = isB | isC
+    # per-column parameters
+    ratioH = 8
+    tlo = jnp.where(isB, x1, x2)
+    thi = jnp.where(isB, x1 + 2, x2 + 1)
+    xlo2 = jnp.where(isB, 4, 5)
+    snapH = jnp.where(isB, False, jnp.bool_(gt10))
+    idxB = ((row * 256 + col) >> 1) + (SZ >> 1)
+    idxC = ((row * 256 + col) >> 1) + (SZ >> 1) + 128
+    r3okB = gather_r3(idxB, x4)
+    r3okC = gather_r3(idxC, x4 + 1)
+    r3H = jnp.concatenate([r3okB, r3okC], axis=2)
+    IR_H = _flat_shift_l(IH)       # right reads: initial, flat in-row
+
+    def visitH(vin, left):
+        av = jnp.abs(vin)
+        cand1 = live & (av >= ratioH) & (av < thi)
+        z_r3 = cand1 & r3H
+        pairL = cand1 & ~z_r3 & (jnp.abs(vin + left) < x5) \
+            & (jnp.abs(IR_H) < x5)
+        pairR = cand1 & ~z_r3 & ~pairL & (jnp.abs(vin + IR_H) < x5) \
+            & (jnp.abs(left) < x5)
+        v1 = jnp.where(z_r3 | pairL | pairR, 0, vin)
+        av2 = jnp.abs(v1)
+        cand2 = live & (av2 >= ratioH) & (av2 < tlo)
+        iso = cand2 & (jnp.abs(left) < ratioH) & (jnp.abs(IR_H) < ratioH)
+        lo2 = cand2 & ~iso & (av2 < tlo - xlo2)
+        hit = iso | lo2
+        snap = jnp.where(v1 >= 16, 7, jnp.where(v1 <= -16, -7, 0))
+        v2 = jnp.where(hit, jnp.where(snapH, snap, 0), v1)
+        return v2, pairL, pairR
+
+    def leftH(F):
+        # flat left: col 0 chains into the previous row's col 511; the
+        # first row's col 0 reads loop A's final row-255 col 511
+        lf = _flat_shift_r(F)
+        prev511 = jnp.concatenate([FA[:, 255:256, 255],
+                                   F[:, :-1, 511]], axis=1)
+        return lf.at[:, :, 0].set(prev511)
+
+    def bodyH(state):
+        F, wr, _ = state
+        vin = jnp.where(_flat_shift_r(wr, 1, False), 0, IH)
+        v2, pl, pr = visitH(vin, leftH(F))
+        return v2, pr, jnp.any((v2 != F) | (pr != wr))
+
+    zH = jnp.zeros(IH.shape, bool)
+    FH, wrH, _ = bodyH((IH, zH, True))
+    FH, wrH, _ = jax.lax.while_loop(lambda st: st[2], bodyH,
+                                    (FH, wrH, jnp.bool_(True)))
+    vinH = jnp.where(_flat_shift_r(wrH, 1, False), 0, IH)
+    _, plH, prH = visitH(vinH, leftH(FH))
+    FH = jnp.where(_flat_shift_l(plH, 1, False), 0, FH)
+    FH = jnp.where(_flat_shift_r(prH, 1, False), 0, FH)
+    # pairL at col 0 zeroes the flat previous row's col 511 (row 255
+    # of the A output for the first row, in-region above)
+    FH = FH.at[:, :255, 511].set(
+        jnp.where(plH[:, 1:, 0], 0, FH[:, :255, 511]))
+    out = out.at[:, 256:, :].set(FH)
+    out = out.at[:, 255, 511].set(
+        jnp.where(plH[:, 0, 0], 0, out[:, 255, 511]))
+    return out.astype(jnp.int16)
+
+
+def _uvs_row(thr3: int, thr4: int, variant: int):
+    """One row step of _uv_ll_smooth (encoder/nhw_encoder.c:2438-2477).
+    The visit at (r, j) writes (r+1, j+1), which is read ONLY by the
+    next visit (r, j+1) as its own (r+1, j) value — a strict 1-step
+    recurrence, resolved by a 62-step inner scan over the columns (the
+    smoothing average is not idempotent, so a Jacobi fixpoint would
+    diverge from the one-pass semantics)."""
+
+    def step(row0, xs):
+        row1_init, row2 = xs
+
+        def col_body(carry, x):
+            prev_fire, prev_val = carry
+            (r1i, r1i1, r1i2, r0, r0s, r0s2, r2s, jc) = x
+            r1v = jnp.where(prev_fire, prev_val, r1i)
+            ok = jc < 62
+            if variant == 1:
+                fire = ok \
+                    & (jnp.abs(r0s - r2s) < thr3) \
+                    & (jnp.abs(r1v - r1i2) < thr3) \
+                    & (jnp.abs(r1i1 - r1v) < thr4 - 1) \
+                    & (jnp.abs(r0s - r1i1) < thr4)
+                val = (r0s + r2s + r1v + r1i2 + 2) >> 2
+            else:
+                fire = ok \
+                    & (jnp.abs(r0s2 - r0s) < thr3) \
+                    & (jnp.abs(r0s - r0) < thr3) \
+                    & (jnp.abs(r0 - r1v) < thr3) \
+                    & (jnp.abs(r0s2 - r1i2) < thr3) \
+                    & (jnp.abs(r2s - r1v) < thr3) \
+                    & (jnp.abs(r1v - r1i1) < thr4)
+                val = (r0s + r2s + r1v + r1i2 + 1) >> 2
+            return (fire, val), r1v
+
+        n = row0.shape[-1]
+        r1s1 = _flat_shift_l(row1_init)
+        r1s2 = _flat_shift_l(row1_init, 2)
+        r0s = _flat_shift_l(row0)
+        r0s2 = _flat_shift_l(row0, 2)
+        r2s = _flat_shift_l(row2)
+        jc = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(jnp.int32, (n,), 0),
+            row0.shape)
+        xs_cols = tuple(jnp.moveaxis(a, -1, 0) for a in
+                        (row1_init, r1s1, r1s2, row0, r0s, r0s2, r2s,
+                         jc))
+        b = row0.shape[0]
+        carry0 = (jnp.zeros((b,), bool), jnp.zeros((b,), jnp.int32))
+        (last_fire, last_val), r1v_cols = jax.lax.scan(
+            col_body, carry0, xs_cols)
+        r1f = jnp.moveaxis(r1v_cols, 0, -1)
+        # the final column beyond the scan keeps its initial value
+        # (writes reach at most col 62 < n)
+        return r1f, r1f
+
+    return step
+
+
+def uv_ll_smooth_device(process):
+    """models/encoder._uv_ll_smooth (q<=LOW9) on (B,256,256) planes:
+    two sequential passes, each a 62-row scan of 62-step column scans."""
+    I = jnp.asarray(process).astype(jnp.int32)
+
+    def run(plane, variant):
+        reg = plane[:, :64, :64]
+        xs = (jnp.swapaxes(reg[:, 1:63], 0, 1),
+              jnp.swapaxes(reg[:, 2:64], 0, 1))
+        _, ys = jax.lax.scan(_uvs_row(5, 8, variant), reg[:, 0], xs)
+        return plane.at[:, 1:63, :64].set(jnp.swapaxes(ys, 0, 1))
+
+    out = run(I, 1)
+    out = run(out, 2)
+    return out.astype(jnp.int16)
