@@ -2365,3 +2365,272 @@ def uv_ll_smooth_device(process):
     out = run(I, 1)
     out = run(out, 2)
     return out.astype(jnp.int16)
+
+
+# ---------------------------------------------------------------------------
+# E11 low-q: the very-low-q cleanup (models/encoder._very_low_q_cleanup,
+# encoder/nhw_encoder.c:311-621): four passes over the LL2 quadrant.
+# Non-idempotent smoothing writes force true sequential column scans
+# (like uv_ll_smooth); the far-band threshold zeroings are absorbing
+# and order-independent, so they collect as fire masks and apply once;
+# the shared stale `carry` position threads through as a scalar.
+
+
+def _vlq_p1_row(x1: int, x2: int):
+    def col(cstate, x):
+        fw2, wv2, fw1, wv1 = cstate
+        i0, i1, i2, i3, i4, jc = x
+        p0 = jnp.where(fw2, wv2, i0)
+        p1 = jnp.where(fw1, wv1, i1)
+        p2, p3, p4 = i2, i3, i4
+        ok = jc < 124
+        c1 = ok & (jnp.abs(p4 - p0) < x1) & (jnp.abs(p4 - p3) < x1) \
+            & (jnp.abs(p1 - p0) < x1) & (jnp.abs(p3 - p1) < x1) \
+            & (jnp.abs(p3 - p2) < x2 - 2)
+        b1 = (p3 - p1 > 5) & (p2 - p3 >= 0)
+        b2 = ~b1 & (p1 - p3 > 5) & (p2 - p3 <= 0)
+        b3 = ~b1 & ~b2 & (p1 - p3 > 5) & (p2 - p1 >= 0)
+        b4 = ~b1 & ~b2 & ~b3 & (p3 - p1 > 5) & (p2 - p1 <= 0)
+        b5 = ~b1 & ~b2 & ~b3 & ~b4 & (p3 - p2 > 0) & (p2 - p1 > 0)
+        b6 = ~b1 & ~b2 & ~b3 & ~b4 & ~b5 & (p1 - p2 > 0) & (p2 - p3 > 0)
+        wv = jnp.where(b1 | b2, p3,
+                       jnp.where(b3 | b4, p1, (p3 + p1) >> 1))
+        fireW = c1 & ~(b5 | b6)
+        c2 = ok & ~c1 & (jnp.abs(p4 - p0) < x2 + 1) \
+            & (jnp.abs(p4 - p3) < x2 + 1) & (jnp.abs(p1 - p0) < x2 + 1) \
+            & (jnp.abs(p3 - p1) < x2 + 6) & (jnp.abs(p3 - p2) < x2 + 6) \
+            & (((p3 - p2 >= 0) & (p2 - p1 >= 0))
+               | ((p3 - p2 <= 0) & (p2 - p1 <= 0)))
+        fireAny = c1 | c2
+        return (fw1, wv1, fireW, wv), (fireW, wv, fireAny)
+    return col
+
+
+def _vlq_row_scan(col_fn, row_arrs, b):
+    """Run a per-column sequential scan over stacked row inputs."""
+    xs = tuple(jnp.moveaxis(a, -1, 0) for a in row_arrs)
+    z = (jnp.zeros(row_arrs[0].shape[:-1], bool),
+         jnp.zeros(row_arrs[0].shape[:-1], jnp.int32),
+         jnp.zeros(row_arrs[0].shape[:-1], bool),
+         jnp.zeros(row_arrs[0].shape[:-1], jnp.int32))
+    _, ys = jax.lax.scan(col_fn, z, xs)
+    return tuple(jnp.moveaxis(y, 0, -1) for y in ys)
+
+
+def _vlq_p23_step(x3: int, x4: int, variant: int):
+    """Pass 2/3 row step: visit (r,j) reads rows r (settled), r+1
+    (1-step write recurrence) and r+2 (initial); writes (r+1, j+1).
+    Emits (fire, wrote, val) per column for the carry/zero tracking."""
+
+    def step(row0, xs):
+        row1_init, row2 = xs
+
+        def col(cstate, x):
+            pf1, pv1 = cstate          # pending write to (r+1, j)
+            (r1i, r1i1, r1i2, r0, r0s, r0s2, r2s, jc) = x
+            a0 = jnp.where(pf1, pv1, r1i)      # (r+1, j) at visit
+            ok = jc < 126
+            if variant == 2:
+                outer = ok & (jnp.abs(r0s - r2s) < x3) \
+                    & (jnp.abs(a0 - r1i2) < x3)
+                inner = outer & (jnp.abs(r1i1 - a0) < x4 - 1) \
+                    & (jnp.abs(r0s - r1i1) < x4)
+                e = (r0s + r2s + a0 + r1i2 + 2) >> 2
+                ew = inner & ((jnp.abs(e - a0) < 5)
+                              | (jnp.abs(e - r1i2) < 5))
+                fire = inner
+            else:
+                outer = ok & (jnp.abs(r0s2 - r0s) < x3) \
+                    & (jnp.abs(r0s - r0) < x3) \
+                    & (jnp.abs(r0 - a0) < x3) \
+                    & (jnp.abs(r0s2 - r1i2) < x3)
+                inner = outer & (jnp.abs(r2s - a0) < x3) \
+                    & (jnp.abs(a0 - r1i1) < x4)
+                e = (r0s + r2s + a0 + r1i2 + 1) >> 2
+                ew = inner & ((jnp.abs(e - a0) < 5)
+                              | (jnp.abs(e - r1i2) < 5))
+                fire = inner
+            return (ew, e), (a0, fire, ew, e, outer)
+
+        n = row0.shape[-1]
+        arrs = (row1_init, _flat_shift_l(row1_init),
+                _flat_shift_l(row1_init, 2), row0,
+                _flat_shift_l(row0), _flat_shift_l(row0, 2),
+                _flat_shift_l(row2),
+                jnp.broadcast_to(jax.lax.broadcasted_iota(
+                    jnp.int32, (n,), 0), row0.shape))
+        xs_c = tuple(jnp.moveaxis(a, -1, 0) for a in arrs)
+        bshape = row0.shape[:-1]
+        z = (jnp.zeros(bshape, bool), jnp.zeros(bshape, jnp.int32))
+        (lf, lv), ys = jax.lax.scan(col, z, xs_c)
+        a0v, fire, ew, ev, outer = (jnp.moveaxis(y, 0, -1) for y in ys)
+        # final row r+1 values: each position's visit-time value, and
+        # the very last pending write lands at (r+1, n-1)... writes
+        # reach col <= 126+1 = 127 < n, captured by a0v of later cols
+        # plus the final pending (applies to position n-1 only if
+        # jc 126.. masked — fires stop at 125, target <= 126 < n-1 for
+        # n = 132; with n = 128+4 pad the tail positions keep a0v
+        r1f = a0v
+        return r1f, (r1f, fire, ew, ev, outer)
+
+    return step
+
+
+def very_low_q_cleanup_device(plane, quality: int, xs7: tuple):
+    """models/encoder._very_low_q_cleanup on (B,512,512) int16 planes,
+    bit-exact (tests).  xs7 = (x1..x7) from _VLQ_THRX."""
+    from nhwcodec_tpu import tables as T
+
+    x1, x2, x3, x4, x5, x6, x7 = xs7
+    low9 = quality <= T.LOW9
+    I0 = jnp.asarray(plane).astype(jnp.int32)
+    b = I0.shape[0]
+
+    # ---------- pass 1 (row-parallel sequential column scans) ----------
+    reg = I0[:, :128, :128]
+    pad = jnp.concatenate(
+        [reg, I0[:, :128, 128:132]], axis=2)      # flat reads j+4 < 132
+    arrs = tuple(_flat_shift_l(pad, k) for k in range(5)) + (
+        jnp.broadcast_to(jax.lax.broadcasted_iota(
+            jnp.int32, (132,), 0), pad.shape),)
+    fw, wv, fany1 = _vlq_row_scan(_vlq_p1_row(x1, x2), arrs, b)
+    # writes land at j+2
+    w_at = _flat_shift_r(fw, 2, False)
+    v_at = _flat_shift_r(wv, 2)
+    ll1 = jnp.where(w_at, v_at, pad)[:, :, :128]
+    out = I0.at[:, :128, :128].set(ll1)
+    any_p1 = jnp.any(fany1.reshape(b, -1), axis=1)
+
+    # ---------- passes 2 and 3 (row scans over rows 0..125) ----------
+    def run_p23(cur, variant):
+        regp = cur[:, :129, :132]
+        xs_rows = (jnp.swapaxes(regp[:, 1:127], 0, 1),
+                   jnp.swapaxes(regp[:, 2:128], 0, 1))
+        row0 = regp[:, 0]
+        _, ys = jax.lax.scan(_vlq_p23_step(x3, x4, variant), row0,
+                             xs_rows)
+        r1f, fire, ew, ev, outer = (jnp.swapaxes(y, 0, 1) for y in ys)
+        # write back rows 1..126 (visits r=0..125 write row r+1)
+        out2 = cur.at[:, 1:127, :132].set(r1f)
+        return out2, fire, outer
+
+    out, fire2, hit2 = run_p23(out, 2)
+    out, fire3, hit3 = run_p23(out, 3)
+
+    # ---------- pass 4 (parallel; low9 only) ----------
+    if low9:
+        r4 = out[:, :128, :132]
+        d01 = jnp.abs(_flat_shift_l(r4, 2) - _flat_shift_l(r4, 1))
+        d02 = jnp.abs(_flat_shift_l(r4, 2) - r4)
+        d12 = jnp.abs(_flat_shift_l(r4, 1) - r4)
+        jc4 = jax.lax.broadcasted_iota(jnp.int32, (132,), 0)
+        fire4 = (jc4 < 126) & (d01 < x7) & (d02 < x7) & (d12 < x7)
+    else:
+        fire4 = jnp.zeros((b, 128, 132), bool)
+
+    # ---------- apply the far zeroings ----------
+    # fire positions are (row r, col j) with targets keyed by
+    # count_pos = r*512 + j (+k).  Families:
+    #  A: zero_bands(cnt, x5-or-32, x6, e34=False) at p1 (cnt=j+1..3),
+    #     p2/p3 (cnt = fire col j+1 .. the write target col)
+    #  B: zero_bands(cnt, 34, x6, e34=True) at pass 4 (cnt = j+1)
+    #  C: zero_l2(cnt)
+    def rowdown(m):
+        # pass-2/3 fires at visit (r, j), r in 0..125, target count
+        # positions at (r+1, j+1): embed into the 128-row frame shifted
+        # down one row and right one col
+        return _zpad(_flat_shift_r(m, 1, False), [(-2, (1, 1))], False)
+
+    fz = jnp.zeros((b, 128, 132), bool)   # x5-threshold band fires (p1)
+    for k in (1, 2, 3):
+        fz = fz | _flat_shift_r(fany1, k, False)
+    f32 = rowdown(fire2) | rowdown(fire3)  # 32-threshold fires (p2/p3)
+    fe34 = _flat_shift_r(fire4, 1, False)  # pass-4 fires (thr 34, e34)
+    fl2 = jnp.zeros((b, 128, 132), bool)   # zero_l2 fires
+    if low9:
+        for k in (1, 2, 3):
+            fl2 = fl2 | _flat_shift_r(fany1, k, False)
+        # passes 2/3 zero_l2 at carry-1..carry+1 around the fresh fire
+        # position (r+1, j+1); pass 3 additionally applies at the
+        # INHERITED carry when a second-level hit precedes its first
+        # fire (handled after the mask families)
+        d23 = rowdown(fire2) | rowdown(fire3)
+        fl2 = fl2 | d23 | _flat_shift_r(d23, 1, False) \
+            | _flat_shift_l(d23, 1, False)
+        fl2 = fl2 | _flat_shift_r(fire4, 1, False)
+
+    def zero_bands(pl, mask, thr_p1, x6_, e_thr):
+        """_vlq_zero_bands: for count_pos positions in mask (cols 0..127
+        of rows 0..127), zero the derived band positions."""
+        flat = pl.reshape(b, -1)
+        m = mask[:, :, :128]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        c2 = (rows * 512 + cols) * 2
+        for off, thr in (((256, 257, 768, 769), x6_),
+                         ((2 * SZ, 2 * SZ + 1, 2 * SZ + 512,
+                           2 * SZ + 513), x6_ + 6),
+                         ((2 * SZ + 256, 2 * SZ + 257, 2 * SZ + 256 + 512,
+                           2 * SZ + 257 + 512), e_thr)):
+            for o in off:
+                idx = (c2 + o).reshape(-1)
+                tgt = jnp.take_along_axis(
+                    flat, jnp.broadcast_to(idx, (b, idx.size)), axis=1
+                ).reshape(b, 128, 128)
+                hit = m & (jnp.abs(tgt) < thr)
+                upd = jnp.where(hit, 0, tgt).reshape(b, -1)
+                flat = jax.vmap(lambda f, u, ii=idx: f.at[ii].set(u))(
+                    flat, upd)
+        return flat.reshape(pl.shape)
+
+    out = zero_bands(out, fz, x5, x6, x5)
+    out = zero_bands(out, f32, 32, x6, 32)
+    if low9:
+        out = zero_bands(out, fe34, 34, x6, 34)
+
+        # zero_l2 targets: count_pos + 128, + SZ, + SZ + 128
+        flat = out.reshape(b, -1)
+        m = fl2[:, :, :128]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        cp = rows * 512 + cols
+        for o, thr in ((128, 11), (SZ, 12), (SZ + 128, 13)):
+            idx = (cp + o).reshape(-1)
+            tgt = jnp.take_along_axis(
+                flat, jnp.broadcast_to(idx, (b, idx.size)), axis=1
+            ).reshape(b, 128, 128)
+            hit = m & (jnp.abs(tgt) < thr)
+            upd = jnp.where(hit, 0, tgt).reshape(b, -1)
+            flat = jax.vmap(lambda f, u, ii=idx: f.at[ii].set(u))(
+                flat, upd)
+        out = flat.reshape(out.shape)
+
+        # pass-3's STALE-carry zero_l2: hits at the second level re-use
+        # the inherited carry until pass 3's own first fire.  Re-
+        # applications at pass-2/3 fire positions are no-ops (the
+        # zeroing is absorbing with fixed thresholds); the only fresh
+        # effect is the inherited carry==4 (any pass-1 fire, no pass-2
+        # fire) or carry==0 case.
+        def first_pos(m):
+            mm = m.reshape(b, -1)
+            return (jnp.where(jnp.any(mm, axis=1),
+                              jnp.argmax(mm, axis=1), 1 << 30),
+                    jnp.any(mm, axis=1))
+
+        hpos, hhas = first_pos(hit3)
+        fpos, _ = first_pos(fire3)
+        any_p2 = jnp.any(fire2.reshape(b, -1), axis=1)
+        stale = hhas & (hpos < fpos) & ~any_p2
+        use4 = stale & any_p1
+        use0 = stale & ~any_p1
+        flat = out.reshape(b, -1)
+        for cnts, cond in (((3, 4, 5), use4), ((-1, 0, 1), use0)):
+            for cnt in cnts:
+                for o, thr in ((128, 11), (SZ, 12), (SZ + 128, 13)):
+                    ix = cnt + o
+                    v = flat[:, ix]
+                    flat = flat.at[:, ix].set(
+                        jnp.where(cond & (jnp.abs(v) < thr), 0, v))
+        out = flat.reshape(out.shape)
+
+    return out.astype(jnp.int16)
