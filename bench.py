@@ -614,6 +614,20 @@ def _host_numbers(device_ok: bool = True) -> dict:
     mddec, _ = median_of(
         lambda: device_pipeline.decode_batch_device(good[:16]), n=3)
     out["full_decode_device_wired_mp_s"] = round(mddec, 3)
+
+    # the round-5 full-device encode configuration (every raster scan
+    # as batched device programs; byte-identical) — tunnel-bound in
+    # this sandbox exactly like entropy_on_device decode
+    device_pipeline.encode_batch_device(imgs[:8], 20,
+                                        scans_on_device=True)
+    ts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        device_pipeline.encode_batch_device(imgs[:8], 20,
+                                            scans_on_device=True)
+        ts.append(time.perf_counter() - t0)
+    out["full_encode_scans_device_ms_img"] = round(
+        min(ts) / 8 * 1000, 1)
     return out
 
 

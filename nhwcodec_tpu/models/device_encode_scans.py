@@ -12,10 +12,12 @@ the E18 tokenizer, and the container writer.  Output is byte-identical
 to ``models.encoder.encode`` (tests/test_device_scans.py).
 
 Stage-major batching: each host stage runs per image, each device
-stage runs once for the whole batch.  Quality support matches the
-device scans built this round: T.LOW4 < q <= T.HIGH1 (the duty-cycle
-quantizer and the very-low-q ladders, and the q>HIGH1 HQ residue,
-still route to the host encoder).
+stage runs once for the whole batch.  Quality support: 1 <= q <=
+T.HIGH1 — the full low-q family included (the duty-cycle quantizer,
+the very-low-q window ladders, the count-adaptive lowest-q band
+cleanup with its heap-alias r3 tail, and the UV laplacian nudge /
+band zeroing / LL smooth).  Only the q>HIGH1 HQ residue still routes
+to the host encoder.
 """
 
 from __future__ import annotations
@@ -33,7 +35,9 @@ SZ = 65536
 
 
 def supported(quality: int) -> bool:
-    return T.LOW4 < quality <= T.HIGH1
+    # round-5 full coverage below HIGH1; the q>HIGH1 HQ residue stays
+    # host-routed
+    return 1 <= quality <= T.HIGH1
 
 
 def _stack(arrs, dtype=np.int16):
@@ -83,10 +87,15 @@ def encode_batch_scans_device(images: np.ndarray, quality: int = 20
 
     sections = [dict() for _ in range(b)]
 
-    # ---- device: mid-q band cleanup (pure vector; q17..q19) ----
+    # ---- device: low-q cleanup ladders (before the LL2 coding) ----
     P = _stack(procs)
-    if T.LOW5 < q < T.NORM:
-        P = np.asarray(ds.mid_q_band_cleanup_device(P))
+    if q <= T.LOW9:
+        P = np.asarray(ds.low_q_ll1_cleanup_device(
+            P, 10 if q > T.LOW14 else 11))
+    if q < T.LOW7:
+        P = np.asarray(ds.very_low_q_cleanup_device(
+            P, q, enc._VLQ_THRX(q, None)))
+    if q <= T.LOW9 or q < T.LOW7:
         for k in range(b):
             procs[k][:] = P[k]
 
@@ -136,12 +145,36 @@ def encode_batch_scans_device(images: np.ndarray, quality: int = 20
                 highres_tmp_out=ht_out)
             analysis.wavelet_synthesis(jpegs[k], procs[k], D, 0)
 
-    # ---- device: cleanup ladder + pair promotion (E11) ----
+    # ---- device: cleanup ladders + pair promotion (E11) ----
     P = _stack(procs)
-    if T.LOW6 <= q <= T.LOW5:
+    if T.LOW5 < q < T.NORM:
+        P = np.asarray(ds.mid_q_band_cleanup_device(P))
+    elif T.LOW6 <= q <= T.LOW5:
+        P = np.asarray(ds.low56_band_cleanup_device(
+            P, 19 if q == T.LOW5 else 20))
+    elif q < T.LOW6:
+        # the host builds the r3 tail from the free-time kernel state +
+        # the tree1 chunk bytes (heap-alias model, models/encoder.py)
+        oobs = np.zeros((b, 256), np.int16)
         for k in range(b):
-            enc._low56_band_cleanup(procs[k].reshape(-1), q, ratio)
-        P = _stack(procs)
+            kern = prefilter.final_low_kernel(yorigs[k], q)
+            oobs[k, 0:4] = np.asarray(kern).reshape(-1)[131080:131084]
+            oobs[k, 4] = 24593
+            t = tree1B[k, :496].astype(np.uint16)
+            oobs[k, 8:8 + 248] = (t[0::2] | (t[1::2] << 8)
+                                  ).astype(np.uint16).view(np.int16)
+        r3_ext = np.concatenate(
+            [resIII.reshape(b, -1), oobs], axis=1)
+        # thresholds are count-adaptive PER IMAGE and static to the
+        # device program: group the batch by tuple
+        xs_all = [enc._lowest_q_xs(P[k].reshape(-1), q)
+                  for k in range(b)]
+        groups: dict = {}
+        for k, xs5 in enumerate(xs_all):
+            groups.setdefault(xs5, []).append(k)
+        for xs5, idxs in groups.items():
+            P[idxs] = np.asarray(ds.lowest_q_band_cleanup_device(
+                P[idxs], r3_ext[idxs], q, xs5))
     if q > T.LOW4:
         P = np.asarray(ds.pair_promotion_device(P))
 
@@ -150,7 +183,8 @@ def encode_batch_scans_device(images: np.ndarray, quality: int = 20
     if q > T.LOW8:
         kheads = []
         for k in range(b):
-            kern = prefilter.kernel_for(yorigs[k], q)
+            kern = (prefilter.final_low_kernel(yorigs[k], q)
+                    if q <= T.LOW4 else prefilter.kernel_for(yorigs[k], q))
             kheads.append(np.asarray(kern).reshape(-1)[65536:65540]
                           .astype(np.int16))
         rf_ext = np.zeros((b, SZ + 1024), np.int16)
@@ -220,7 +254,10 @@ def encode_batch_scans_device(images: np.ndarray, quality: int = 20
     yw = 8 if q > T.HIGH2 else 11
     Pd = ds.snap_pass_device(Pd, D, 511, D + 1, 2 * D - 1, ratio - 1,
                              yw, yw, False, False, 2 * D - 2)
-    Pd = ds.offset_y_device(Pd, ratio)
+    if q > T.LOW4:
+        Pd = ds.offset_y_device(Pd, ratio)
+    else:
+        Pd = ds.offset_y_low4_device(Pd, ratio)
 
     # ---- device: serpentine + merge + select + cap (E15) ----
     serp = np.asarray(ds.serpentine_y_device(Pd))
@@ -257,8 +294,19 @@ def encode_batch_scans_device(images: np.ndarray, quality: int = 20
         for k in range(b):
             jpeg = planes[k].astype(np.int16).copy()
             process = np.zeros((D, D), np.int16)
+            if q <= T.LOW6:
+                process[:] = jpeg  # pre_processing_UV copies then nudges
+                enc._pre_processing_uv(jpeg, q)
             analysis.wavelet_analysis(jpeg, process, D, 0, 0)
             r256 = jpeg[:128, :128].copy()
+            if q <= T.LOW4:
+                # per-band |v|-window zeroing (models/encoder.encode_uv)
+                for rs, cs, hi in ((slice(0, 128), slice(128, 256), 24),
+                                   (slice(128, 256), slice(0, 128), 32),
+                                   (slice(128, 256), slice(128, 256), 48)):
+                    blk = process[rs, cs]
+                    v = np.abs(blk.astype(np.int32))
+                    blk[(v >= ratio) & (v < hi)] = 0
             analysis.wavelet_analysis(jpeg, process, 128, 1, 0)
             requant.offset_uv_recons256(jpeg, process, q, ratio, comp=1)
             analysis.wavelet_synthesis(jpeg, process, 128, 0)
@@ -288,6 +336,8 @@ def encode_batch_scans_device(images: np.ndarray, quality: int = 20
                 Pm, rf_ext, res_uv))
         for k in range(b):
             Pm[k, :128, :128] = resIIIu[k]
+        if q <= T.LOW9:
+            Pm = np.asarray(ds.uv_ll_smooth_device(Pm))
         Pm2, t1B, exwB2, nexB = ds.ll2_code_uv_device(Pm)
         t1uv[:, comp] = np.asarray(t1B)
         exwB2 = np.asarray(exwB2)

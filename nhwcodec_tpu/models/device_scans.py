@@ -2634,3 +2634,154 @@ def very_low_q_cleanup_device(plane, quality: int, xs7: tuple):
         out = flat.reshape(out.shape)
 
     return out.astype(jnp.int16)
+
+
+# ---------------------------------------------------------------------------
+# E14 low-q: offset_y with the duty-cycle counters (q <= LOW4), as an
+# exact flat lax.scan — the counters (quant mod 6 / quant6 mod 4 per
+# row, quant4 mod 3 global) plus the single forward-write slot are the
+# whole sequential state; pf[i-1] reads are provably r1 == 0 (every
+# emitted code and fixup value is >= -9 with (|v|&7) < 6), and all
+# other neighbour reads are initial values.
+
+
+def _oy4_tables():
+    from nhwcodec_tpu.ops.quantize import EXTRA_WORDS1, EXTRA_WORDS2
+
+    return (jnp.asarray(EXTRA_WORDS1, jnp.int32),
+            jnp.asarray(EXTRA_WORDS2, jnp.int32))
+
+
+def _oy4_step(m1: int):
+    e1t, e2t = _oy4_tables()
+
+    def step(carry, x):
+        quant, quant6, quant4, pend_on, pend_val = carry
+        i0, i1, i2, col, reg4 = x
+        row0 = col == 0
+        quant = jnp.where(row0, 0, quant)
+        quant6 = jnp.where(row0, 0, quant6)
+
+        a0 = jnp.where(pend_on, pend_val, i0)
+        zero = a0 == 0
+        sent = a0 > 10000
+        escp = (~sent) & (a0 > 127)
+        escn = a0 < -127
+        plain = ~(zero | sent | escp | escn)
+        incol = col < 2 * D - 1
+
+        # fixup writes to i+1 (sequential order mirrors the host)
+        w_m9 = plain & (a0 < -12) & (((-a0) & 7) == 6) & incol \
+            & (i1 == -7)
+        neg = a0 < 0
+        selfm8 = plain & neg & (a0 == -7) & (i1 == 8) & incol
+        a1 = jnp.where(selfm8, -8, a0)
+        an = -a1
+        dec2 = (an > 14) & ((an & 7) == 7) & (i1 > 0) & (i1 < 8)
+        an = jnp.where(dec2, an - 2, an)
+        # low4 duty cycles on the negated magnitude
+        is15 = an == 15
+        is22 = (~is15) & (an > 22) & ((an & 7) == 7)
+        mask_now15 = is15 & (quant == 0)
+        mask_now22 = is22 & (quant6 == 0)
+        an2 = jnp.where(is15,
+                        jnp.where(mask_now15, an & 504, an),
+                        jnp.where(is22,
+                                  jnp.where(mask_now22, an & 504, an),
+                                  an & 504))
+        negq = jnp.where(plain & neg, -an2, a1)
+        qn = jnp.where(plain & neg & is15,
+                       jnp.where(quant == 0, 1, (quant + 1) % 6), quant)
+        q6n = jnp.where(plain & neg & is22,
+                        jnp.where(quant6 == 0, 1, (quant6 + 1) % 4),
+                        quant6)
+
+        w_m8 = plain & ~neg & (a0 == 8) & (i1 == -7) & incol
+        w_9 = plain & ~neg & ~(a0 == 8) & (a0 > 12) & ((a0 & 7) >= 6) \
+            & incol & (i1 == 7)
+
+        a2 = jnp.where(plain & neg, negq, a0)
+        # quant4 pair balancing (i1 unchanged when a fixup fired — the
+        # fixup values are < 14, which kills the block)
+        fixed = w_m9 | w_m8 | w_9
+        blk = plain & ~fixed & (a2 >= 14) & (i1 >= 14) & reg4
+        q2 = a2 & 510
+        q3 = i1 & 510
+        pairok = blk & ((q2 & 7) == 6) & ((q3 & 7) == 6) \
+            & (((a2 & 1) == 1) | ((i1 & 1) == 1))
+        edge = (col > 0) & (col < 2 * D - 2)
+        vp = i2
+        r2 = jnp.where((vp > -8) & (vp < -2), 1,
+                       jnp.where(vp < -7,
+                                 jnp.where(((-vp) & 7) < 6, 0, 1), 0))
+        r2 = jnp.where(edge, r2, 0)
+        fire4 = pairok & (quant4 == 0)
+        same = (a2 & 504) == (i1 & 504)
+        gebr = a2 >= i1
+        # r1 == 0 always; branch outcomes:
+        up_a = fire4 & (same & gebr | (~same & (a2 <= i1)))
+        up_b = fire4 & ~up_a & (r2 == 0)  # pend = b + 2
+        a3 = jnp.where(up_a, a2 + 2, a2)
+        pend4 = up_a | up_b
+        pend4v = jnp.where(up_a, i1 - 2, i1 + 2)
+        q4n = jnp.where(pairok,
+                        jnp.where(quant4 == 0, 1, (quant4 + 1) % 3),
+                        quant4)
+
+        code = jnp.where((a3 > -m1) & (a3 < m1), 128, (a3 + 128) & 248)
+        out = jnp.where(zero, 128,
+                        jnp.where(sent, _sentinel_code(a0),
+                                  jnp.where(escp | escn,
+                                            _escape_code(a0), code)))
+
+        pend_on2 = plain & (w_m9 | w_m8 | w_9 | pend4)
+        pend_v2 = jnp.where(w_m9, -9,
+                            jnp.where(w_m8, -8,
+                                      jnp.where(w_9, 9, pend4v)))
+        carry2 = (jnp.where(plain, qn, quant),
+                  jnp.where(plain, q6n, quant6),
+                  jnp.where(plain, q4n, quant4),
+                  pend_on2, pend_v2)
+        return carry2, out
+
+    return step
+
+
+def offset_y_low4_device(plane, m1: int = 8):
+    """ops.quantize.offset_y for q <= LOW4 on (B,512,512) int16: the
+    pair-decrement pass 1 (Jacobi) then the duty-cycle quantizer as one
+    exact 262144-step scan (correctness-first; the counters are
+    irreducibly sequential)."""
+    b = plane.shape[0]
+    If = jnp.asarray(plane).astype(jnp.int32).reshape(b, -1)
+    If = _offset_y_pass1(If)
+    pad = jnp.concatenate([If, jnp.zeros((b, 8), jnp.int32)], axis=1)
+    n = 4 * SZ
+    idx = jnp.arange(n, dtype=jnp.int32)
+    col = idx & 511
+    reg4 = (idx >= 2 * SZ) | (col >= D)   # the quant4 region test
+    xs = (pad[:, :n].T, pad[:, 1:n + 1].T, pad[:, 2:n + 2].T,
+          jnp.broadcast_to(col[:, None], (n, b)),
+          jnp.broadcast_to(reg4[:, None], (n, b)))
+    z = jnp.zeros((b,), jnp.int32)
+    carry0 = (z, z, z, jnp.zeros((b,), bool), z)
+    _, outs = jax.lax.scan(_oy4_step(m1), carry0, xs)
+    return outs.T.reshape(plane.shape).astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("thrx2",))
+def low56_band_cleanup_device(plane, thrx2: int):
+    """models/encoder._low56_band_cleanup (q in {LOW6, LOW5}) — pure
+    elementwise dead-zoning of the lower half."""
+    I = jnp.asarray(plane).astype(jnp.int32)
+    left = I[:, 256:, :256]
+    av = jnp.abs(left)
+    left2 = jnp.where((av >= 8) & (av < 11), 0, left)
+    right = I[:, 256:, 256:]
+    av = jnp.abs(right)
+    m = (av >= 8) & (av < thrx2)
+    right2 = jnp.where(m, jnp.where(right >= 14, 7,
+                                    jnp.where(right <= -14, -7, 0)),
+                       right)
+    return (I.at[:, 256:, :256].set(left2)
+            .at[:, 256:, 256:].set(right2).astype(jnp.int16))

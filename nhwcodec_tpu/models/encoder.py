@@ -628,6 +628,47 @@ def _low56_band_cleanup(pf, q, ratio):
                         np.where(right[m] <= -14, -7, 0))
 
 
+def _lowest_q_xs(pf, q):
+    """Count-adaptive thresholds for the q<LOW6 band cleanup
+    (encoder/nhw_encoder.c:843-878): the LOW7 tuple is fixed; below
+    that the lower-half population >= 12 picks the base tuple, with
+    LOW9/LOW10- additive bumps."""
+    if q == T.LOW7:
+        return 15, 27, 10, 6, 3
+    x1, x2, x3, x4, x5 = 16, 28, 11, 8, 5
+    count = int(np.count_nonzero(
+        np.abs(pf[2 * SZ: 4 * SZ]) >= 12))
+    if count > 12500:
+        x1, x2, x3, x4, x5 = 19, 31, 13, 9, 6
+    elif count > 10000:
+        x1, x2, x3, x4, x5 = 18, 30, 12, 8, 6
+    elif count >= 7000:
+        x1, x2, x3, x4, x5 = 17, 29, 11, 8, 5
+    if q == T.LOW9:
+        if count > 12500:
+            x1 += 1
+            x2 += 1
+            x3 += 1
+            x4 += 1
+            x5 += 1
+        else:
+            x1 += 1
+    elif q <= T.LOW10:
+        if count > 12500:
+            x1 += 3
+            x2 += 3
+            x3 += 2
+            x4 += 3
+            x5 += 3
+        else:
+            x1 += 3
+            x2 += 2
+            x3 += 2
+            x4 += 2
+            x5 += 2
+    return x1, x2, x3, x4, x5
+
+
 def _lowest_q_band_cleanup(pf, resIII, q, ratio, tree1_y=None,
                            y_original=None):
     """q<LOW6 band dead-zoning with count-adaptive thresholds
@@ -639,40 +680,7 @@ def _lowest_q_band_cleanup(pf, resIII, q, ratio, tree1_y=None,
     kernel chunk, and the next chunk's prev_size field keeps the old
     data), the chunk size field 24593, and tree1's LL2 code bytes as
     int16 pairs — all reproduced here."""
-    if q == T.LOW7:
-        x1, x2, x3, x4, x5 = 15, 27, 10, 6, 3
-    else:
-        x1, x2, x3, x4, x5 = 16, 28, 11, 8, 5
-        count = int(np.count_nonzero(
-            np.abs(pf[2 * SZ: 4 * SZ]) >= 12))
-        if count > 12500:
-            x1, x2, x3, x4, x5 = 19, 31, 13, 9, 6
-        elif count > 10000:
-            x1, x2, x3, x4, x5 = 18, 30, 12, 8, 6
-        elif count >= 7000:
-            x1, x2, x3, x4, x5 = 17, 29, 11, 8, 5
-        if q == T.LOW9:
-            if count > 12500:
-                x1 += 1
-                x2 += 1
-                x3 += 1
-                x4 += 1
-                x5 += 1
-            else:
-                x1 += 1
-        elif q <= T.LOW10:
-            if count > 12500:
-                x1 += 3
-                x2 += 3
-                x3 += 2
-                x4 += 3
-                x5 += 3
-            else:
-                x1 += 3
-                x2 += 2
-                x3 += 2
-                x4 += 2
-                x5 += 2
+    x1, x2, x3, x4, x5 = _lowest_q_xs(pf, q)
     oob = np.zeros(256, np.int16)
     if y_original is not None:
         from nhwcodec_tpu.ops import prefilter

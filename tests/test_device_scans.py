@@ -80,6 +80,68 @@ assert (int(g1[0]), int(g3[0]), int(g5[0])) == (n1, n3, n5)
 print("OK")
 """
 
+_LOWQ_CODE = """
+import numpy as np
+from nhwcodec_tpu.models import encoder as enc_mod
+from nhwcodec_tpu.models import device_scans as ds
+from nhwcodec_tpu.ops import quantize
+
+rng = np.random.default_rng(11)
+
+# low-q LL1 isolated-coefficient zeroing (q<=LOW9)
+p = rng.choice(np.array([0, 3, 7, 8, 9, 10, -8, -9, -10, 20, -20],
+                        np.int16), size=(512, 512))
+ref = p.reshape(-1).copy()
+enc_mod._low_q_ll1_cleanup(ref, 11, 8)
+got = np.asarray(ds.low_q_ll1_cleanup_device(p[None], 10))[0]
+assert np.array_equal(got.reshape(-1), ref)
+
+# very-low-q window ladders (q<LOW7)
+p = rng.choice(np.array([0, 2, 5, 7, 8, 10, 12, 14, -7, -10, -14, 33,
+                         40, -40], np.int16), size=(512, 512))
+ref = p.reshape(-1).copy()
+enc_mod._very_low_q_cleanup(ref, 9, 8)
+got = np.asarray(ds.very_low_q_cleanup_device(
+    p[None], 9, enc_mod._VLQ_THRX(9, None)))[0]
+assert np.array_equal(got.reshape(-1), ref)
+
+# lowest-q band cleanup (q<LOW6) with the zero-tail r3 model
+p = rng.choice(np.array([0, 5, 8, 12, 15, 17, 19, 25, 28, -12, -17,
+                         -28, 60, -60], np.int16), size=(512, 512))
+resIII = rng.integers(-30, 31, (256, 256)).astype(np.int16)
+ref = p.reshape(-1).copy()
+enc_mod._lowest_q_band_cleanup(ref, resIII, 9, 8)
+xs = enc_mod._lowest_q_xs(p.reshape(-1), 9)
+oob = np.zeros(256, np.int16)
+oob[4] = 24593
+r3_ext = np.concatenate([resIII.reshape(-1), oob])
+got = np.asarray(ds.lowest_q_band_cleanup_device(
+    p[None], r3_ext[None], 9, xs))[0]
+assert np.array_equal(got.reshape(-1), ref)
+
+# UV LL smoothing (q<=LOW9): true sequential column scan
+pu = rng.choice(np.array([0, 4, 7, 9, 12, -4, -9, -12, 100, -100],
+                         np.int16), size=(256, 256))
+ref = pu.copy()
+enc_mod._uv_ll_smooth(ref)
+got = np.asarray(ds.uv_ll_smooth_device(pu[None]))[0]
+assert np.array_equal(got, ref)
+
+# the q<=LOW4 duty-cycle quantizer
+p = rng.integers(-400, 401, (512, 512)).astype(np.int16)
+ref = p.copy(); quantize.offset_y(ref, 9, 8)
+assert np.array_equal(np.asarray(ds.offset_y_low4_device(p[None], 8))[0],
+                      ref)
+
+# low56 dead-zoning (pure vector)
+p = rng.integers(-25, 26, (512, 512)).astype(np.int16)
+ref = p.reshape(-1).copy()
+enc_mod._low56_band_cleanup(ref, 15, 8)
+got = np.asarray(ds.low56_band_cleanup_device(p[None], 19))[0]
+assert np.array_equal(got.reshape(-1), ref)
+print("OK")
+"""
+
 _E2E_CODE = """
 import numpy as np
 from nhwcodec_tpu.models import encoder as enc
@@ -88,6 +150,22 @@ from nhwcodec_tpu.utils import fixtures
 
 imgs = np.stack([fixtures.texture_noise(), fixtures.gradient_circles()])
 for q in (20, 19, 21):
+    refs = [enc.encode(im, q) for im in imgs]
+    gots = des.encode_batch_scans_device(imgs, q)
+    for r, g in zip(refs, gots):
+        assert r == g, f"scans-on-device encode differs at q{q}"
+print("OK")
+"""
+
+
+_E2E_LOWQ_CODE = """
+import numpy as np
+from nhwcodec_tpu.models import encoder as enc
+from nhwcodec_tpu.models import device_encode_scans as des
+from nhwcodec_tpu.utils import fixtures
+
+imgs = np.stack([fixtures.texture_noise(), fixtures.gradient_circles()])
+for q in (16, 9, 3):
     refs = [enc.encode(im, q) for im in imgs]
     gots = des.encode_batch_scans_device(imgs, q)
     for r, g in zip(refs, gots):
@@ -115,3 +193,11 @@ def test_device_scan_units_bit_exact():
 
 def test_scans_on_device_encode_byte_identical():
     _run(_E2E_CODE)
+
+
+def test_device_scan_lowq_units_bit_exact():
+    _run(_LOWQ_CODE)
+
+
+def test_scans_on_device_encode_low_q_byte_identical():
+    _run(_E2E_LOWQ_CODE)
