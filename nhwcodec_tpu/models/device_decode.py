@@ -82,10 +82,14 @@ def y_stage1_device(jpeg, idx, delta, fused: bool = False):
     b = jpeg.shape[0]
     with jax.named_scope("nhw.decode.y_l2_synth"):
         ll1 = _synth_level(jpeg[:, :D, :D], fused)
-    proc = jnp.zeros((b, N, N), jnp.int16).at[:, :D, :D].set(ll1)
+    # scratch covers only rows 0..255 of the host's 512-stride plane:
+    # scatter indices >= D*N land in rows the host never reads, so the
+    # explicit 'drop' mode reproduces them exactly at half the traffic
+    buf = jnp.zeros((b, D, N), jnp.int16).at[:, :, :D].set(ll1)
     with jax.named_scope("nhw.decode.y_residue_scatter"):
-        flat = _scatter_add(proc.reshape(b, -1), idx, delta)
-    return flat.reshape(b, N, N)[:, :D, :D]
+        bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
+        flat = buf.reshape(b, -1).at[bidx, idx].add(delta, mode="drop")
+    return flat.reshape(b, D, N)[:, :, :D]
 
 
 @functools.partial(jax.jit, static_argnames=("fused",))
@@ -99,12 +103,25 @@ def y_stage2_device(jpeg, proc_ll1, hq_idx, hq_delta, marks, marks_valid,
     a safe in-bounds read — and marks_valid False)."""
     b = jpeg.shape[0]
     jp = jpeg.at[:, :D, :D].set(_t(proc_ll1))
-    with jax.named_scope("nhw.decode.y_l1_synth"):
-        t = synth_unnorm(jp[..., :D], jp[..., D:],
-                         xp=jnp).astype(jnp.int16)
-    with jax.named_scope("nhw.decode.y_hq_scatter"):
-        flat = _scatter_add(t.reshape(b, -1), hq_idx, hq_delta)
-    x8 = _t(flat.reshape(b, N, N)).reshape(b, -1)
+    if fused:
+        from nhwcodec_tpu.ops import pallas_dwt
+
+        # the row pass emits TRANSPOSED from VMEM; the hq scatter's
+        # flat indices are remapped through the same permutation
+        # (scatter-then-transpose == transpose-then-remapped-scatter)
+        with jax.named_scope("nhw.decode.y_l1_synth"):
+            tt = pallas_dwt.synth_unnorm_rows_t_pallas(jp)
+        with jax.named_scope("nhw.decode.y_hq_scatter"):
+            idx_t = ((hq_idx & (N - 1)) << 9) | (hq_idx >> 9)
+            x8 = _scatter_add(tt.reshape(b, -1), idx_t,
+                              hq_delta).reshape(b, -1)
+    else:
+        with jax.named_scope("nhw.decode.y_l1_synth"):
+            t = synth_unnorm(jp[..., :D], jp[..., D:],
+                             xp=jnp).astype(jnp.int16)
+        with jax.named_scope("nhw.decode.y_hq_scatter"):
+            flat = _scatter_add(t.reshape(b, -1), hq_idx, hq_delta)
+        x8 = _t(flat.reshape(b, N, N)).reshape(b, -1)
 
     def smooth_one(plane, recs, valid):
         def body(p, rv):
@@ -132,6 +149,10 @@ def y_stage2_device(jpeg, proc_ll1, hq_idx, hq_delta, marks, marks_valid,
 
     jp = x8.reshape(b, N, N)
     with jax.named_scope("nhw.decode.y_final_synth"):
+        if fused:
+            from nhwcodec_tpu.ops import pallas_dwt
+
+            return pallas_dwt.synth_norm_rows_clip_pallas(jp)
         y = synth_norm(jp[..., :D], jp[..., D:], xp=jnp)
     return jnp.clip(y, 0, 255).astype(jnp.uint8)
 
@@ -153,6 +174,11 @@ def uv_synth_device(jpeg, fused: bool = False):
     """(B,256,256) int16 chroma coefficient plane -> (B,256,256) int16
     pre-sharpen plane (decode_uv_synth replica; the residue sentinels
     are independent scatter-adds, applied as masked slice adds)."""
+    if fused:
+        from nhwcodec_tpu.ops import pallas_dwt
+
+        # the whole pipeline below as one VMEM program
+        return pallas_dwt.uv_synth_pallas(jpeg)
     b = jpeg.shape[0]
     ll1 = _synth_level(jpeg[:, :128, :128], fused)
     proc = jnp.zeros((b, D, D), jnp.int16).at[:, :128, :128].set(ll1)

@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+D2 = 256
+
 
 def _wrap16(x):
     return ((x + 32768) & 65535) - 32768
@@ -278,3 +280,114 @@ def analysis_level_pallas(block: jnp.ndarray, interpret: bool = False
         out_shape=jax.ShapeDtypeStruct((b, n, n), jnp.int16),
         interpret=interpret,
     )(block)
+
+
+# ---------------------------------------------------------------------------
+# half-level row passes for the decode Y stage-2 split (the dering mark
+# scan sits between the two row passes, so the full-level kernel cannot
+# be used there; these keep each pass in VMEM and fuse its transpose)
+
+
+def _synth_unnorm_rows_t_kernel(coeff_ref, out_ref, *, m):
+    # transpose(unnorm_rows(x)) == unnorm_cols(x.T)
+    x = coeff_ref[0].astype(jnp.int32)
+    out_ref[0] = _synth_cols_unnorm(x.T, m).astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def synth_unnorm_rows_t_pallas(block: jnp.ndarray, interpret: bool = False
+                               ) -> jnp.ndarray:
+    """One un-normalized synthesis ROW pass (upfilter53I+III,
+    decoder/filters.c:143-169) with the follow-on transpose fused into
+    the write.  block: (B, 2M, 2M) int16; returns (B, 2M, 2M) int16 =
+    ``synth_unnorm(rows).T`` per image."""
+    b, n, _ = block.shape
+    kernel = functools.partial(_synth_unnorm_rows_t_kernel, m=n // 2)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, n), jnp.int16),
+        interpret=interpret,
+    )(block)
+
+
+def _synth_norm_rows_clip_kernel(coeff_ref, out_ref, *, m):
+    x = coeff_ref[0].astype(jnp.int32)
+    y = _synth_cols_norm(x.T, m).T
+    out_ref[0] = jnp.clip(y, 0, 255).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def synth_norm_rows_clip_pallas(block: jnp.ndarray, interpret: bool = False
+                                ) -> jnp.ndarray:
+    """The final normalized synthesis ROW pass (upfilter53I+VI,
+    decoder/filters.c:171-194) with the 0..255 clip fused.  block:
+    (B, 2M, 2M) int16; returns (B, 2M, 2M) uint8."""
+    b, n, _ = block.shape
+    kernel = functools.partial(_synth_norm_rows_clip_kernel, m=n // 2)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, n), jnp.uint8),
+        interpret=interpret,
+    )(block)
+
+
+def _uv_synth_kernel(jpeg_ref, out_ref):
+    """The whole chroma synthesis (models.device_decode.uv_synth_device)
+    for one plane in VMEM: 64-level, sentinel delta adds + band clears
+    (decoder/nhw_decoder.c:991-1069), transpose-back, 128-level."""
+    x = jpeg_ref[0].astype(jnp.int32)
+    t1 = x[:128, :128].T
+    u = _synth_cols_unnorm(t1, 64).astype(jnp.int16).astype(jnp.int32)
+    ll1 = _synth_cols_norm(u.T, 64).T            # (128,128)
+
+    def deltas(v):
+        pair = jnp.where(v == 5005, -4, jnp.where(v == 5006, 4, 0))
+        single = jnp.where(v == 5003, -6, jnp.where(v == 5004, 6, 0))
+        return pair + single, pair, (v >= 5003) & (v <= 5006)
+
+    ur, lo_l, lo_r = x[:128, 128:], x[128:, :128], x[128:, 128:]
+    d0a, d1a, ca = deltas(ur)
+    d0b, d1b, cb = deltas(lo_l)
+    d0c, d1c, cc = deltas(lo_r)
+    d1 = d1a + d1b + d1c
+    # tgt+1 lands one column right; its col-128 spill is outside the
+    # re-read LL block in the reference layout
+    d1s = jnp.concatenate(
+        [jnp.zeros((128, 1), jnp.int32), d1[:, :127]], axis=1)
+    proc = _wrap16(ll1 + d0a + d0b + d0c + d1s)
+
+    jp = jnp.concatenate(
+        [jnp.concatenate([proc.T, jnp.where(ca, 0, ur)], axis=1),
+         jnp.concatenate([jnp.where(cb, 0, lo_l),
+                          jnp.where(cc, 0, lo_r)], axis=1)], axis=0)
+    u = _synth_cols_unnorm(jp.T, 128).astype(jnp.int16).astype(jnp.int32)
+    out_ref[0] = _synth_cols_norm(u.T, 128).T.astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def uv_synth_pallas(jpeg: jnp.ndarray, interpret: bool = False
+                    ) -> jnp.ndarray:
+    """(B,256,256) int16 chroma coefficient plane -> (B,256,256) int16
+    pre-sharpen plane, the whole uv_synth_device pipeline as ONE VMEM
+    program (each plane moves through HBM exactly once each way)."""
+    b = jpeg.shape[0]
+    return pl.pallas_call(
+        _uv_synth_kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, D2, D2), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, D2, D2), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, D2, D2), jnp.int16),
+        interpret=interpret,
+    )(jpeg)
