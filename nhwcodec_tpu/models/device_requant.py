@@ -166,6 +166,12 @@ def requant_tail_device(jpeg, process, res256, fused: bool = False):
     res256_clean) exactly matching the host sequence
     wavelet_synthesis(256,0) -> unmark_res256 -> requant_scan_ladder ->
     wavelet_analysis(256,1)."""
+    if fused:
+        from nhwcodec_tpu.ops import pallas_dwt
+
+        # the whole tail as ONE VMEM program (synthesis, unmark delta
+        # interleave, per-image ladder while-loop, jp re-analysis)
+        return pallas_dwt.requant_tail_pallas(jpeg, process, res256)
     with jax.named_scope("nhw.requant.synth"):
         syn = _synth_level(jpeg[:, :D, :D], fused)
     process = process.at[:, :D, :D].set(syn)

@@ -391,3 +391,168 @@ def uv_synth_pallas(jpeg: jnp.ndarray, interpret: bool = False
         out_shape=jax.ShapeDtypeStruct((b, D2, D2), jnp.int16),
         interpret=interpret,
     )(jpeg)
+
+
+# ---------------------------------------------------------------------------
+# the whole encoder requant feedback tail in VMEM
+# (models.device_requant.requant_tail_device: level-2 synthesis, unmark
+# delta interleave, compare-ladder fixpoint, jp re-analysis — the host
+# sequence encoder/nhw_encoder.c:183-279 + wavelet passes)
+
+
+def _rt_ladder_decide(scan, aa):
+    big = jnp.where(scan > 11, -7, jnp.where(scan > 7, -4, jnp.where(
+        scan > 5, -2, jnp.where(scan > 4, -1, jnp.where(
+            scan < -11, 7, jnp.where(scan < -7, 4, jnp.where(
+                scan < -5, 2, jnp.where(scan < -4, 1, 0))))))))
+    inner = jnp.where(
+        (scan > 0) & (aa > 0), -1, jnp.where(
+            (scan < 0) & (aa < 0), 1, jnp.where(
+                aa >= 5, -2, jnp.where(aa <= -5, 2, jnp.where(
+                    aa >= 4, -1, jnp.where(aa <= -4, 1, 0))))))
+    small = jnp.where(
+        (scan >= 4) & (aa >= 1), -1, jnp.where(
+            (scan <= -4) & (aa <= -1), 1, jnp.where(
+                (scan == 3) & (aa >= 0), -1, jnp.where(
+                    (scan == -3) & (aa <= 0), 1, jnp.where(
+                        jnp.abs(aa) >= 3, inner, 0)))))
+    return jnp.where(big != 0, big,
+                     jnp.where(jnp.abs(scan) > 1, small, 0)
+                     ).astype(jnp.int32)
+
+
+def _rt_adjust_a(a):
+    pos = jnp.where(a > 11, -7, jnp.where(a > 7, -4,
+                                          jnp.where(a > 5, -2, -1)))
+    neg = jnp.where(a < -11, 7, jnp.where(a < -7, 4,
+                                          jnp.where(a < -5, 2, 1)))
+    return jnp.where(jnp.abs(a) > 4, a + jnp.where(a > 0, pos, neg), a)
+
+
+def _requant_tail_kernel(jpeg_ref, proc_ref, res_ref,
+                         jout_ref, pout_ref, rout_ref):
+    h = 128
+    jp = jpeg_ref[0].astype(jnp.int32)           # (512,512)
+    pr = proc_ref[0].astype(jnp.int32)
+    v = res_ref[0].astype(jnp.int32)             # (256,256)
+
+    # --- level-2 synthesis of the jpeg LL block ---
+    u = _synth_cols_unnorm(jp[:256, :256].T, h
+                           ).astype(jnp.int16).astype(jnp.int32)
+    syn = _synth_cols_norm(u.T, h).T             # (256,256), int16-range
+
+    # --- unmark: sentinel strip + interleaved +-1 delta ---
+    hi = v > 14000
+    marked = v > 10000
+    res_clean = v - jnp.where(hi, 16000, jnp.where(marked, 12000, 0))
+    d = jnp.where(marked, jnp.where(hi, 1, -1), 0)
+    # lane interleaves are unsupported in Mosaic: build each column
+    # interleave transposed (a sublane reshape), transpose back, then
+    # row-interleave (also sublane)
+    evenrows = jnp.stack([jnp.zeros((h, h), jnp.int32), d[h:, :h]],
+                         axis=1).reshape(256, h).T
+    oddrows = jnp.stack([d[:h, h:], d[h:, h:]],
+                        axis=1).reshape(256, h).T
+    delta = jnp.stack([evenrows, oddrows], axis=1).reshape(256, 256)
+    ll = _wrap16(syn + delta)                    # post-unmark LL block
+
+    # --- ladder fixpoint (per image, in VMEM) ---
+    # every flat (raster) shift is written as a 2-D slice+concat:
+    # Mosaic rejects 2D<->1D shape casts
+    scan0 = ll - res_clean
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (256, 256), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (256, 256), 1)
+    # flat raster shifts as lane rolls with a masked row-carry fix:
+    # single-lane sublane concats at lane offset != 0 are unsupported
+    nroll = jnp.concatenate([res_clean[:, 1:], res_clean[:, :1]],
+                            axis=1)
+    nup = jnp.concatenate([nroll[1:, :],
+                           jnp.zeros((1, 256), jnp.int32)], axis=0)
+    rflat_next = jnp.where(col_i == 255, nup, nroll)
+    a0 = _rt_adjust_a(
+        jnp.concatenate([ll[:, 1:], pr[:256, 256:257]], axis=1)
+        - rflat_next)
+    # flat left neighbour of the full 512-stride plane with the LL in
+    full = jnp.concatenate(
+        [jnp.concatenate([ll, pr[:256, 256:]], axis=1), pr[256:, :]],
+        axis=0)
+    froll = jnp.concatenate([full[:, 511:512], full[:, :511]], axis=1)
+    fdown = jnp.concatenate([jnp.zeros((1, 512), jnp.int32),
+                             froll[:511, :]], axis=0)
+    col512 = jax.lax.broadcasted_iota(jnp.int32, (512, 512), 1)
+    sh = jnp.where(col512 == 0, fdown, froll)
+    rroll = jnp.concatenate([res_clean[:, 255:256], res_clean[:, :255]],
+                            axis=1)
+    rdown = jnp.concatenate([jnp.zeros((1, 256), jnp.int32),
+                             rroll[:255, :]], axis=0)
+    rflat_prev = jnp.where(col_i == 0, rdown, rroll)
+    base_left = jnp.where((row_i == 0) & (col_i == 0), 0,
+                          sh[:256, :256] - rflat_prev)
+    m_applies = col_i >= 1
+
+    def left_of(m):
+        m_prev = jnp.concatenate(
+            [jnp.zeros((256, 1), jnp.int32), m[:, :255]], axis=1)
+        return base_left + jnp.where(m_applies, m_prev, 0)
+
+    m0 = _rt_ladder_decide(scan0, a0 + left_of(jnp.zeros_like(scan0)))
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        m, _ = state
+        m2 = _rt_ladder_decide(scan0, a0 + left_of(m))
+        return m2, jnp.any(m2 != m)
+
+    m, _ = jax.lax.while_loop(cond, body, (m0, jnp.bool_(True)))
+    ll_f = _wrap16(ll + m)
+    jll = _wrap16(res_clean + m)
+
+    # --- jp re-analysis of the new jpeg LL block ---
+    lowT, highT = _down_cols_iv(jll.T, h)
+    j = jnp.concatenate([lowT, highT], axis=0)
+    tt = _wrap16(j).astype(jnp.int32).T
+    topT_l, topT_h = _down_cols_vi(tt[:, :h], h)
+    botT_l, botT_h = _down_cols_53(tt[:, h:], h)
+    outT = jnp.concatenate([
+        jnp.concatenate([topT_l, botT_l], axis=1),
+        jnp.concatenate([topT_h, botT_h], axis=1)], axis=0)
+    p = outT.T
+
+    jout_ref[0] = jnp.concatenate(
+        [jnp.concatenate([j, jp[:256, 256:]], axis=1), jp[256:, :]],
+        axis=0).astype(jnp.int16)
+    pout_ref[0] = jnp.concatenate(
+        [jnp.concatenate([p, pr[:256, 256:]], axis=1), pr[256:, :]],
+        axis=0).astype(jnp.int16)
+    rout_ref[0] = res_clean.astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def requant_tail_pallas(jpeg: jnp.ndarray, process: jnp.ndarray,
+                        res256: jnp.ndarray, interpret: bool = False):
+    """jpeg/process: (B,512,512) int16, res256: (B,256,256) int16 with
+    sentinels.  Returns (jpeg', process', res_clean) ==
+    models.device_requant.requant_tail_device, one VMEM program."""
+    b = jpeg.shape[0]
+    return pl.pallas_call(
+        _requant_tail_kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, 512, 512), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 512, 512), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 256, 256), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, 512, 512), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 512, 512), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 256, 256), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((b, 512, 512), jnp.int16),
+                   jax.ShapeDtypeStruct((b, 512, 512), jnp.int16),
+                   jax.ShapeDtypeStruct((b, 256, 256), jnp.int16)],
+        interpret=interpret,
+    )(jpeg, process, res256)
