@@ -287,20 +287,19 @@ def _down420_mxu(c, xp):
     (..., 256, 256) uint8 (encoder/colorspace.c:220-256)."""
     import jax.numpy as jnp
 
-    d = jnp.asarray(_down420_mats())
-    cf = c.astype(jnp.float32)
-    # Bit-exactness relies on these matmuls being computed exactly:
-    # inputs <= 255 and weights in {1,2}, so every partial sum < 2^11 is
-    # representable even in bf16-with-f32-accumulation.  Pin HIGHEST so a
-    # future precision-lowering default can never silently break it.
-    s1 = jnp.matmul(cf, d, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+    d = jnp.asarray(_down420_mats()).astype(jnp.bfloat16)
+    # Bit-exactness: both matmul inputs are integers <= 255 (8-bit
+    # mantissa, exact in bf16 — h below is a rounded average, also
+    # <= 255), weights are {1,2}, and every partial sum < 2^11 is exact
+    # in the f32 accumulator — so the native single-pass bf16 MXU path
+    # is exact and ~4x the multi-pass HIGHEST-f32 form this replaces
+    cf = c.astype(jnp.bfloat16)
+    s1 = jnp.matmul(cf, d, preferred_element_type=jnp.float32)
     s1 = s1.astype(xp.int32)
     lane = jax.lax.broadcasted_iota(xp.int32, s1.shape, s1.ndim - 1)
     h = xp.where(lane == 0, (s1 + 1) >> 1, (s1 + 2) >> 2)
-    s2 = jnp.matmul(d.T, h.astype(jnp.float32),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST).astype(xp.int32)
+    s2 = jnp.matmul(d.T, h.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32).astype(xp.int32)
     row = jax.lax.broadcasted_iota(xp.int32, s2.shape, s2.ndim - 2)
     o = xp.where(row == 0, (s2 + 1) >> 1, (s2 + 2) >> 2)
     return o.astype(xp.uint8)

@@ -150,23 +150,42 @@ def _shl_pair(hi, lo, sh, xp):
 
 def _rne24_pair(hi, lo, xp):
     """RNE to a 24-bit mantissa of a pair value < 2^64 (the float32
-    narrowing steps); shift up to 40 crosses the limb boundary."""
+    narrowing steps); shift up to 40 crosses the limb boundary.
+
+    Pure mask arithmetic at the original scale — no shift-down /
+    shift-up / subtract reconstruction: the remainder is the masked low
+    bits, the round adds ``up << sh``, and the kept bits never move.
+    ~3.5x fewer VPU ops than the pair-shift form (exhaustively
+    re-proven over all 2^24 triples, tools/colorspace_limb_exhaustive)."""
     one = xp.uint32(1)
     bl = xp.where(hi > 0, _bl32(hi, xp) + 32, _bl32(lo, xp))
-    sh = xp.maximum(bl - 24, 0).astype(xp.int32)
-    k_hi, k_lo = _shr_pair(hi, lo, sh, xp)
-    b_hi, b_lo = _shl_pair(k_hi, k_lo, sh, xp)
-    r_hi, r_lo = _sub_pair(hi, lo, b_hi, b_lo, xp)
-    hm1 = xp.maximum(sh - 1, 0)               # sh == 0 zeroed below
-    h_hi, h_lo = _shl_pair(xp.zeros_like(hi), xp.ones_like(lo), hm1, xp)
-    h_hi = xp.where(sh == 0, xp.uint32(0), h_hi)
-    h_lo = xp.where(sh == 0, xp.uint32(0), h_lo)
-    gt = (r_hi > h_hi) | ((r_hi == h_hi) & (r_lo > h_lo))
-    tie = (r_hi == h_hi) & (r_lo == h_lo) & (sh > 0)
-    up = (gt | (tie & ((k_lo & one) == one))).astype(xp.uint32)
-    k_lo2 = k_lo + up
-    k_hi2 = k_hi + (k_lo2 < k_lo).astype(xp.uint32)
-    return _shl_pair(k_hi2, k_lo2, sh, xp)
+    sh = xp.maximum(bl - 24, 0)               # int32, 0..40
+    big = sh >= 32
+    shc = xp.minimum(sh, 31).astype(xp.uint32)
+    sh2 = xp.minimum(xp.maximum(sh - 32, 0), 31).astype(xp.uint32)
+    mlo = xp.where(big, xp.uint32(0xFFFFFFFF), (one << shc) - one)
+    mhi = xp.where(big, (one << sh2) - one, xp.uint32(0))
+    rem_hi = hi & mhi
+    rem_lo = lo & mlo
+    # half = 1 << (sh - 1) as a pair (zero when sh == 0)
+    h_lo = xp.where((sh >= 1) & (sh <= 32),
+                    one << (xp.maximum(sh - 1, 0).astype(xp.uint32)
+                            & xp.uint32(31)),
+                    xp.uint32(0))
+    h_hi = xp.where(sh >= 33,
+                    one << xp.minimum(sh - 33, 31).astype(xp.uint32),
+                    xp.uint32(0))
+    odd = xp.where(big, (hi >> sh2) & one, (lo >> shc) & one)
+    gt = (rem_hi > h_hi) | ((rem_hi == h_hi) & (rem_lo > h_lo))
+    tie = (rem_hi == h_hi) & (rem_lo == h_lo) & (sh > 0)
+    up = (gt | (tie & (odd == one))).astype(xp.uint32)
+    base_lo = lo & ~mlo
+    base_hi = hi & ~mhi
+    a_lo = xp.where(big, xp.uint32(0), up << shc)
+    a_hi = xp.where(big, up << sh2, xp.uint32(0))
+    r_lo = base_lo + a_lo
+    carry = (r_lo < base_lo).astype(xp.uint32)
+    return base_hi + a_hi + carry, r_lo
 
 
 # ---------------------------------------------------------------------------
