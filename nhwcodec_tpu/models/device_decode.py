@@ -226,6 +226,101 @@ def pad_scatter(pairs) -> tuple[np.ndarray, np.ndarray]:
     return idx, dl
 
 
+@functools.partial(jax.jit, static_argnames=("n_waves", "fused"))
+def y_stage2_dense_device(jpeg, proc_ll1, hq_idx, hq_delta, depth_plane,
+                          n_waves: int, fused: bool = False):
+    """y_stage2_device with the dering mark smoothing as DENSE depth
+    waves instead of a per-mark sequential scan.
+
+    Mark positions in the transposed plane are (2*row, col<256): every
+    write lands on an EVEN plane row while reads span rows 2r-1..2r+1,
+    so two marks interact only at the same row with |dcol| <= 1 —
+    chains are horizontal runs, and a mark's wave number is its run
+    position (host-computed ``depth_plane``, 0 = no mark).  Marks in
+    one wave are pairwise non-adjacent, so a full-plane masked update
+    reproduces the C's in-order semantics exactly; the host guards
+    that same-row marks were emitted in increasing column order and
+    falls back to the sequential scan otherwise (decode_batch_device).
+    Measured ~5.3 us/mark -> ~0.2 ms/wave at batch 16: >100x on
+    heavy-mark (textured) content."""
+    b = jpeg.shape[0]
+    jp = jpeg.at[:, :D, :D].set(_t(proc_ll1))
+    if fused:
+        from nhwcodec_tpu.ops import pallas_dwt
+
+        with jax.named_scope("nhw.decode.y_l1_synth"):
+            tt = pallas_dwt.synth_unnorm_rows_t_pallas(jp)
+        with jax.named_scope("nhw.decode.y_hq_scatter"):
+            idx_t = ((hq_idx & (N - 1)) << 9) | (hq_idx >> 9)
+            x8 = _scatter_add(tt.reshape(b, -1), idx_t, hq_delta)
+        x8 = x8.reshape(b, N, N)
+    else:
+        with jax.named_scope("nhw.decode.y_l1_synth"):
+            t = synth_unnorm(jp[..., :D], jp[..., D:],
+                             xp=jnp).astype(jnp.int16)
+        with jax.named_scope("nhw.decode.y_hq_scatter"):
+            flat = _scatter_add(t.reshape(b, -1), hq_idx, hq_delta)
+        x8 = _t(flat.reshape(b, N, N))
+
+    with jax.named_scope("nhw.decode.y_mark_waves"):
+        dp = depth_plane.astype(jnp.int32)
+
+        def wave(r, x):
+            c = x.astype(jnp.int32)
+            le = jnp.roll(c, 1, axis=2)
+            ri = jnp.roll(c, -1, axis=2)
+            up = jnp.roll(c, 1, axis=1)
+            dn = jnp.roll(c, -1, axis=1)
+            ul = jnp.roll(up, 1, axis=2)
+            ur = jnp.roll(up, -1, axis=2)
+            dl = jnp.roll(dn, 1, axis=2)
+            dr = jnp.roll(dn, -1, axis=2)
+            res = (c << 3) - le - ri - up - dn - ul - ur - dl - dr
+            new = ((c << 2) + le + ri + up + dn + 4) >> 3
+            take = (dp == r) & (jnp.abs(res) < 116)
+            return jnp.where(take, new.astype(jnp.int16), x)
+
+        x8 = jax.lax.fori_loop(1, n_waves + 1, wave, x8)
+
+    with jax.named_scope("nhw.decode.y_final_synth"):
+        if fused:
+            from nhwcodec_tpu.ops import pallas_dwt
+
+            return pallas_dwt.synth_norm_rows_clip_pallas(x8)
+        y = synth_norm(x8[..., :D], x8[..., D:], xp=jnp)
+    return jnp.clip(y, 0, 255).astype(jnp.uint8)
+
+
+def mark_depth_planes(marks_list):
+    """Per-image packed mark records -> ((B,512,512) uint8 depth plane
+    in transposed-plane coordinates, n_waves, ok).  ok=False when some
+    image emitted same-row marks out of column order (never observed;
+    the caller then uses the sequential scan)."""
+    b = len(marks_list)
+    dp = np.zeros((b, N, N), np.uint8)
+    n_waves = 1
+    for n, m in enumerate(marks_list):
+        if not m:
+            continue
+        a = np.asarray(m, np.int64)
+        rows = a >> 8
+        cols = a & 255
+        for r in np.unique(rows):
+            cs = cols[rows == r]
+            if cs.size > 1 and not np.all(np.diff(cs) > 0):
+                return None, 0, False
+        grid = np.zeros((256, 257), bool)
+        grid[rows, cols] = True
+        idx = np.arange(257)
+        start = np.where(grid & ~np.roll(grid, 1, axis=1), idx, -1)
+        start[:, 0] = np.where(grid[:, 0], 0, -1)
+        rs = np.maximum.accumulate(start, axis=1)
+        rp = np.where(grid, idx - rs + 1, 0).astype(np.uint8)
+        dp[n, 2 * rows, cols] = rp[rows, cols]
+        n_waves = max(n_waves, int(rp.max()))
+    return dp, n_waves, True
+
+
 def pad_marks(marks_list) -> tuple[np.ndarray, np.ndarray]:
     """Per-image mark record lists -> ((B, K) int32 recs, (B, K) bool)."""
     k = _bucket(max((len(m) for m in marks_list), default=0))
@@ -301,10 +396,16 @@ def decode_batch_device(datas, fused=None,
         post[i] = p512.reshape(N, N)[:D, :D]
 
     hq_idx, hq_dl = pad_scatter(hqs)
-    recs, valid = pad_marks(marks_list)
-    y_planes = np.asarray(y_stage2_device(
-        jpeg_dev, jax.device_put(post), hq_idx, hq_dl, recs, valid,
-        fused=fused))
+    dp, n_waves, ok = mark_depth_planes(marks_list)
+    if ok:
+        y_planes = np.asarray(y_stage2_dense_device(
+            jpeg_dev, jax.device_put(post), hq_idx, hq_dl,
+            jax.device_put(dp), n_waves, fused=fused))
+    else:  # out-of-order same-row marks (never observed): exact scan
+        recs, valid = pad_marks(marks_list)
+        y_planes = np.asarray(y_stage2_device(
+            jpeg_dev, jax.device_put(post), hq_idx, hq_dl, recs, valid,
+            fused=fused))
 
     pre_u = np.asarray(uv_synth_device(jax.device_put(np.stack(us)),
                                        fused=fused))

@@ -67,3 +67,46 @@ def test_decode_batch_device_pipeline_failure_isolation():
     assert out[1] is None
     np.testing.assert_array_equal(out[0], decoder.decode(datas[0]))
     np.testing.assert_array_equal(out[2], decoder.decode(datas[1]))
+
+
+def test_mark_smoothing_dense_waves_equal_sequential_scan():
+    """The dering mark smoothing as depth waves (y_stage2_dense_device)
+    must match the per-mark sequential scan exactly, including same-row
+    adjacent chains (run depth > 1) and the monotonicity fallback."""
+    import jax.numpy as jnp
+
+    from nhwcodec_tpu.models import device_decode as dd
+
+    rng = np.random.default_rng(3)
+    b = 2
+    yc = jnp.asarray(rng.integers(-3000, 3000, (b, 512, 512))
+                     .astype(np.int16))
+    proc = (np.asarray(yc)[:, :256, :256] >> 1).astype(np.int16)
+    idx = jnp.asarray(rng.integers(0, 512 * 512, (b, 16))
+                      .astype(np.int32))
+    dl = jnp.asarray(rng.integers(-30, 31, (b, 16)).astype(np.int16))
+    marks_list = []
+    for _ in range(b):
+        ms = []
+        for r in sorted(rng.choice(np.arange(1, 255), 30,
+                                   replace=False)):
+            run0 = int(rng.integers(1, 240))
+            cs = sorted(set(rng.integers(1, 250, 5).tolist()
+                            + [run0, run0 + 1, run0 + 2]))
+            ms.extend([(int(r) << 8) | int(c) for c in cs])
+        ms.sort(key=lambda m: ((m & 255), (m >> 8)))  # C emission order
+        marks_list.append(ms)
+    dp_, n_waves, ok = dd.mark_depth_planes(marks_list)
+    assert ok and n_waves >= 2
+    recs, valid = dd.pad_marks(marks_list)
+    ref = np.asarray(dd.y_stage2_device(yc, jnp.asarray(proc), idx, dl,
+                                        recs, valid, fused=False))
+    got = np.asarray(dd.y_stage2_dense_device(
+        yc, jnp.asarray(proc), idx, dl, jnp.asarray(dp_), n_waves,
+        fused=False))
+    np.testing.assert_array_equal(got, ref)
+
+    # out-of-order same-row emission must be rejected (fallback path)
+    badlist = [[(5 << 8) | 9, (5 << 8) | 8]]
+    _, _, ok2 = dd.mark_depth_planes(badlist)
+    assert not ok2
