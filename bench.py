@@ -158,19 +158,30 @@ def _device_numbers(b: int = 64) -> dict:
         _chain(dec_scalar), yc, 2, 26)
 
     # the bit-exact decode synthesis back end (models.device_decode):
-    # Y stage1 + stage2 (incl. the mark-smoothing scan) + both UV planes
+    # Y stage1 + stage2 + both UV planes, through the DEPLOYED dense
+    # mark-wave path under a heavy realistic dering load (~8k marks per
+    # image, the textured-content regime; round 5's wave rewrite made
+    # the cost mark-count-insensitive — the old per-mark scan was
+    # ~5.3 us/mark here)
     from nhwcodec_tpu.models import device_decode as dd
 
     idx = jnp.zeros((b, 8), jnp.int32)
     dl = jnp.zeros((b, 8), jnp.int16)
-    recs = jnp.full((b, 8), 257, jnp.int32)
-    val = jnp.zeros((b, 8), bool)
+    _marks = []
+    for _i in range(b):
+        _ms = [(r << 8) | c for r in range(1, 255)
+               for c in range(1 + (_i & 1), 255, 8)]
+        _marks.append(_ms)
+    dpl, n_waves, _ok = dd.mark_depth_planes(_marks)
+    assert _ok
+    dpl = jax.device_put(dpl)
     fused = jax.default_backend() != "cpu"
 
     def dec_exact_scalar(inp):
         u = inp[:, ::2, ::2].astype(jnp.int16)
         proc = dd.y_stage1_device(inp, idx, dl, fused=fused)
-        y = dd.y_stage2_device(inp, proc, idx, dl, recs, val, fused=fused)
+        y = dd.y_stage2_dense_device(inp, proc, idx, dl, dpl, n_waves,
+                                     fused=fused)
         pu = dd.uv_synth_device(u, fused=fused)
         pv = dd.uv_synth_device((u + 1).astype(jnp.int16), fused=fused)
         return (y.astype(jnp.int32).sum() + pu.astype(jnp.int32).sum()
