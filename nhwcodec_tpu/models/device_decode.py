@@ -262,6 +262,14 @@ def y_stage2_dense_device(jpeg, proc_ll1, hq_idx, hq_delta, depth_plane,
             flat = _scatter_add(t.reshape(b, -1), hq_idx, hq_delta)
         x8 = _t(flat.reshape(b, N, N))
 
+    if fused:
+        from nhwcodec_tpu.ops import pallas_dwt
+
+        # waves + final row pass + clip fused in VMEM
+        with jax.named_scope("nhw.decode.y_waves_final_synth"):
+            return pallas_dwt.synth_norm_rows_clip_waves_pallas(
+                x8, depth_plane, n_waves)
+
     with jax.named_scope("nhw.decode.y_mark_waves"):
         dp = depth_plane.astype(jnp.int32)
 
@@ -283,10 +291,6 @@ def y_stage2_dense_device(jpeg, proc_ll1, hq_idx, hq_delta, depth_plane,
         x8 = jax.lax.fori_loop(1, n_waves + 1, wave, x8)
 
     with jax.named_scope("nhw.decode.y_final_synth"):
-        if fused:
-            from nhwcodec_tpu.ops import pallas_dwt
-
-            return pallas_dwt.synth_norm_rows_clip_pallas(x8)
         y = synth_norm(x8[..., :D], x8[..., D:], xp=jnp)
     return jnp.clip(y, 0, 255).astype(jnp.uint8)
 

@@ -556,3 +556,54 @@ def requant_tail_pallas(jpeg: jnp.ndarray, process: jnp.ndarray,
                    jax.ShapeDtypeStruct((b, 256, 256), jnp.int16)],
         interpret=interpret,
     )(jpeg, process, res256)
+
+
+def _synth_norm_rows_clip_waves_kernel(coeff_ref, dp_ref, out_ref, *,
+                                       m, n_waves):
+    x = coeff_ref[0].astype(jnp.int32)
+    dp = dp_ref[0].astype(jnp.int32)
+
+    def wave(r, c):
+        le = jnp.concatenate([c[:, -1:], c[:, :-1]], axis=1)
+        ri = jnp.concatenate([c[:, 1:], c[:, :1]], axis=1)
+        up = jnp.concatenate([c[-1:, :], c[:-1, :]], axis=0)
+        dn = jnp.concatenate([c[1:, :], c[:1, :]], axis=0)
+        ul = jnp.concatenate([up[:, -1:], up[:, :-1]], axis=1)
+        ur = jnp.concatenate([up[:, 1:], up[:, :1]], axis=1)
+        dl = jnp.concatenate([dn[:, -1:], dn[:, :-1]], axis=1)
+        dr = jnp.concatenate([dn[:, 1:], dn[:, :1]], axis=1)
+        res = (c << 3) - le - ri - up - dn - ul - ur - dl - dr
+        new = ((c << 2) + le + ri + up + dn + 4) >> 3
+        take = (dp == r) & (jnp.abs(res) < 116)
+        return jnp.where(take, new, c)
+
+    x = jax.lax.fori_loop(1, n_waves + 1, wave, x)
+    y = _synth_cols_norm(x.T, m).T
+    out_ref[0] = jnp.clip(y, 0, 255).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("n_waves", "interpret"))
+def synth_norm_rows_clip_waves_pallas(block: jnp.ndarray,
+                                      depth_plane: jnp.ndarray,
+                                      n_waves: int,
+                                      interpret: bool = False
+                                      ) -> jnp.ndarray:
+    """The dering mark depth waves (models.device_decode
+    y_stage2_dense_device semantics) fused with the final normalized
+    synthesis row pass + clip, all in VMEM.  block: (B, 2M, 2M) int16
+    post-scatter plane; depth_plane: (B, 2M, 2M) uint8 run positions
+    (0 = no mark).  Wrapped roll edges only touch border lanes where
+    the depth plane is 0 (marks live at rows 2..508, cols 1..254)."""
+    b, n, _ = block.shape
+    kernel = functools.partial(_synth_norm_rows_clip_waves_kernel,
+                               m=n // 2, n_waves=n_waves)
+    spec = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, n, n), jnp.uint8),
+        interpret=interpret,
+    )(block, depth_plane)
