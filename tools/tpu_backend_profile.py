@@ -100,6 +100,21 @@ def main() -> None:
 
     rows["y_stage2 (L1 rows+scan+final)"] = slope_ms(ph_stage2, yc)
 
+    # the deployed dense mark-wave form under a heavy (8k-mark) load
+    _marks = [[(r << 8) | c for r in range(1, 255)
+               for c in range(1 + (i & 1), 255, 8)] for i in range(B)]
+    dpl, n_waves, _ok = dd.mark_depth_planes(_marks)
+    dpl = jnp.asarray(dpl)
+
+    def ph_stage2_dense(x):
+        p = (x[:, :D, :D] >> 1).astype(jnp.int16)
+        y = dd.y_stage2_dense_device(x, p, idx, dl, dpl, n_waves,
+                                     fused=fused)
+        return perturb(x, y)
+
+    rows["y_stage2 dense waves (8k marks)"] = slope_ms(ph_stage2_dense,
+                                                       yc)
+
     def ph_l1row(x):
         t = synth_unnorm(x[..., :D], x[..., D:], xp=jnp).astype(jnp.int16)
         return perturb(x, t)
@@ -155,7 +170,7 @@ def main() -> None:
     rows["requant_tail (full)"] = slope_ms(ph_requant, yc)
 
     tot_dec = (rows["y_stage1 (L2 synth+scatter)"]
-               + rows["y_stage2 (L1 rows+scan+final)"]
+               + rows["y_stage2 dense waves (8k marks)"]
                + 2 * rows["uv_synth (one plane)"])
     for k, v in rows.items():
         print(f"{k:38s} {v:8.3f} ms/batch  "
