@@ -245,6 +245,16 @@ def y_stage2_dense_device(jpeg, proc_ll1, hq_idx, hq_delta, depth_plane,
     heavy-mark (textured) content."""
     b = jpeg.shape[0]
     jp = jpeg.at[:, :D, :D].set(_t(proc_ll1))
+    if fused and hq_idx is None:
+        from nhwcodec_tpu.ops import pallas_dwt
+
+        # no HQ residue (q <= HIGH1): the whole stage as ONE program
+        with jax.named_scope("nhw.decode.y_stage2_full"):
+            return pallas_dwt.y_stage2_full_pallas(jp, depth_plane,
+                                                   n_waves)
+    if hq_idx is None:
+        hq_idx = jnp.zeros((b, 8), jnp.int32)
+        hq_delta = jnp.zeros((b, 8), jnp.int16)
     if fused:
         from nhwcodec_tpu.ops import pallas_dwt
 
@@ -399,13 +409,18 @@ def decode_batch_device(datas, fused=None,
         marks_list.append(dec._dering_mark_y(p512))
         post[i] = p512.reshape(N, N)[:D, :D]
 
-    hq_idx, hq_dl = pad_scatter(hqs)
+    if any(len(h) for h in hqs):
+        hq_idx, hq_dl = pad_scatter(hqs)
+    else:  # q <= HIGH1 batch: lets the dense stage fuse to one program
+        hq_idx = hq_dl = None
     dp, n_waves, ok = mark_depth_planes(marks_list)
     if ok:
         y_planes = np.asarray(y_stage2_dense_device(
             jpeg_dev, jax.device_put(post), hq_idx, hq_dl,
             jax.device_put(dp), n_waves, fused=fused))
     else:  # out-of-order same-row marks (never observed): exact scan
+        if hq_idx is None:
+            hq_idx, hq_dl = pad_scatter(hqs)
         recs, valid = pad_marks(marks_list)
         y_planes = np.asarray(y_stage2_device(
             jpeg_dev, jax.device_put(post), hq_idx, hq_dl, recs, valid,

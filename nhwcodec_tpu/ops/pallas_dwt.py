@@ -607,3 +607,51 @@ def synth_norm_rows_clip_waves_pallas(block: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b, n, n), jnp.uint8),
         interpret=interpret,
     )(block, depth_plane)
+
+
+def _y_stage2_full_kernel(jp_ref, dp_ref, out_ref, *, m, n_waves):
+    x = jp_ref[0].astype(jnp.int32)
+    tt = _synth_cols_unnorm(x.T, m).astype(jnp.int16).astype(jnp.int32)
+    dp = dp_ref[0].astype(jnp.int32)
+
+    def wave(r, c):
+        le = jnp.concatenate([c[:, -1:], c[:, :-1]], axis=1)
+        ri = jnp.concatenate([c[:, 1:], c[:, :1]], axis=1)
+        up = jnp.concatenate([c[-1:, :], c[:-1, :]], axis=0)
+        dn = jnp.concatenate([c[1:, :], c[:1, :]], axis=0)
+        ul = jnp.concatenate([up[:, -1:], up[:, :-1]], axis=1)
+        ur = jnp.concatenate([up[:, 1:], up[:, :1]], axis=1)
+        dl = jnp.concatenate([dn[:, -1:], dn[:, :-1]], axis=1)
+        dr = jnp.concatenate([dn[:, 1:], dn[:, :1]], axis=1)
+        res = (c << 3) - le - ri - up - dn - ul - ur - dl - dr
+        new = ((c << 2) + le + ri + up + dn + 4) >> 3
+        take = (dp == r) & (jnp.abs(res) < 116)
+        return jnp.where(take, new, c)
+
+    tt = jax.lax.fori_loop(1, n_waves + 1, wave, tt)
+    y = _synth_cols_norm(tt.T, m).T
+    out_ref[0] = jnp.clip(y, 0, 255).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("n_waves", "interpret"))
+def y_stage2_full_pallas(jp: jnp.ndarray, depth_plane: jnp.ndarray,
+                         n_waves: int, interpret: bool = False
+                         ) -> jnp.ndarray:
+    """The whole decode Y stage 2 WITHOUT an HQ scatter (q <= HIGH1
+    streams, the common case) as ONE VMEM program: un-normalized L1 row
+    pass, transpose, dering depth waves, final normalized row pass,
+    clip.  jp: (B, 2M, 2M) int16 coefficient plane with the post-dering
+    LL1 transposed back in; depth_plane: (B, 2M, 2M) uint8."""
+    b, n, _ = jp.shape
+    kernel = functools.partial(_y_stage2_full_kernel, m=n // 2,
+                               n_waves=n_waves)
+    spec = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, n, n), jnp.uint8),
+        interpret=interpret,
+    )(jp, depth_plane)

@@ -106,6 +106,15 @@ def test_mark_smoothing_dense_waves_equal_sequential_scan():
         fused=False))
     np.testing.assert_array_equal(got, ref)
 
+    # the no-HQ one-program configuration (hq arrays None)
+    ref0 = np.asarray(dd.y_stage2_device(
+        yc, jnp.asarray(proc), jnp.zeros((b, 8), jnp.int32),
+        jnp.zeros((b, 8), jnp.int16), recs, valid, fused=False))
+    got0 = np.asarray(dd.y_stage2_dense_device(
+        yc, jnp.asarray(proc), None, None, jnp.asarray(dp_), n_waves,
+        fused=False))
+    np.testing.assert_array_equal(got0, ref0)
+
     # out-of-order same-row emission must be rejected (fallback path)
     badlist = [[(5 << 8) | 9, (5 << 8) | 8]]
     _, _, ok2 = dd.mark_depth_planes(badlist)
