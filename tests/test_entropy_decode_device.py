@@ -202,3 +202,17 @@ print("OK")
 
 def test_fixpoint_converges_fast_and_bound_falls_back():
     _run(_FIXPOINT_CODE)
+
+
+def test_malformed_book_rejected_before_device_dispatch():
+    """A run word with rle < 1 would break the emit scatters'
+    unique-indices promise (every decoded symbol must advance the
+    cursor); the host-side validation must reject it with a clear
+    error instead of dispatching undefined scatters."""
+    import pytest
+
+    from nhwcodec_tpu.ops import entropy_decode_device as edd
+
+    with pytest.raises(ValueError, match="rle < 1"):
+        edd._check_book([5, 7], [3, 0], "Y")
+    edd._check_book([5, 7], [3, 1], "Y")  # valid book passes

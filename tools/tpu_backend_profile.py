@@ -108,7 +108,8 @@ def main() -> None:
 
     def ph_stage2_dense(x):
         p = (x[:, :D, :D] >> 1).astype(jnp.int16)
-        y = dd.y_stage2_dense_device(x, p, idx, dl, dpl, n_waves,
+        # hq=None: the deployed one-program no-HQ configuration
+        y = dd.y_stage2_dense_device(x, p, None, None, dpl, n_waves,
                                      fused=fused)
         return perturb(x, y)
 
